@@ -1,0 +1,93 @@
+"""Bbox tile-extract job — the reference's `GET /bbox.pbf` as a Spark job.
+
+Usage:
+    spark-submit --py-files . jobs/extract.py \
+        --docs fixtures/sf-xs/docs.parquet \
+        --bbox minLat,minLon,maxLat,maxLon \
+        --out /tmp/extract_out
+
+Reads the interleaved docs table, parses entities, builds the way_tiles
+index, runs the bbox extract (way→node resolution + relation closure),
+and writes nodes/ways/relations parquet in type-major order plus a
+summary JSON line to stdout. Bbox parse/validation mirrors
+VanillaExtract.java:110-127.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm_lib_spark.operators.extract import bbox_extract  # noqa: E402
+from osm_lib_spark.operators.indexes import build_way_tiles  # noqa: E402
+from osm_lib_spark.session import get_spark  # noqa: E402
+from osm_lib_spark.sources.span_codec import (  # noqa: E402
+    parse_nodes,
+    parse_relations,
+    parse_ways,
+)
+
+
+def parse_bbox(s: str) -> tuple[float, float, float, float]:
+    """Parse + validate 'minLat,minLon,maxLat,maxLon' (VanillaExtract.java:110-127)."""
+    parts = s.split(",")
+    if len(parts) != 4:
+        raise ValueError(f"bbox must be minLat,minLon,maxLat,maxLon — got {s!r}")
+    min_lat, min_lon, max_lat, max_lon = (float(p) for p in parts)
+    if not (-90 <= min_lat <= 90 and -90 <= max_lat <= 90):
+        raise ValueError(f"latitude out of range in {s!r}")
+    if not (-180 <= min_lon <= 180 and -180 <= max_lon <= 180):
+        raise ValueError(f"longitude out of range in {s!r}")
+    if min_lat >= max_lat or min_lon >= max_lon:
+        raise ValueError(f"min must be < max in {s!r}")
+    return min_lat, min_lon, max_lat, max_lon
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True, help="path to docs parquet")
+    ap.add_argument("--bbox", required=True, help="minLat,minLon,maxLat,maxLon")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    try:
+        bbox = parse_bbox(args.bbox)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("extract", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.docs)
+    nodes = parse_nodes(docs)
+    ways = parse_ways(docs)
+    relations = parse_relations(docs)
+    way_tiles = build_way_tiles(ways, nodes)
+
+    ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
+    counts = {}
+    for name, df in (("nodes", ext.nodes), ("ways", ext.ways), ("relations", ext.relations)):
+        df.orderBy("id").write.mode("overwrite").parquet(os.path.join(args.out, name))
+        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+
+    print(
+        json.dumps(
+            {
+                "bbox": list(bbox),
+                "out": args.out,
+                "counts": counts,
+                "elapsed_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Derived index tables: spatial way_tiles + relation member indexes.
+
+These are the Spark analogs of the reference's materialized secondary
+indexes (OSM.java:33-43,144-167) — derived DataFrames instead of
+B-trees, recomputed (or incrementally merged) from the entity tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_lib_spark.functions.geo import from_fixed
+from osm_lib_spark.functions.tiles import hilbert_key, tile_x_col, tile_y_col
+
+
+def build_way_tiles(ways: DataFrame, nodes: DataFrame, with_hilbert: bool = False) -> DataFrame:
+    """way_tiles(xtile, ytile, way_id): first-node z12 tile assignment.
+
+    Reference rule (OSM.java:311-324): a way belongs to exactly ONE
+    tile — that of its FIRST node; ways whose first node is unknown are
+    silently left out (OSM.java:316-319), hence the inner join.
+
+    Scale notes: the join is an equi-join on node id — at planet scale
+    both sides shuffle-hash on id; `element_at` keeps only the first ref
+    so the probe side is one row per way (no explode). The projected
+    nodes side is (id, lat, lon) only — column pruning reaches the scan.
+    With ``with_hilbert`` the output carries a Hilbert curve key for
+    range partitioning (the sorted-B-tree analog, OSM.java:144-146).
+    """
+    first_ref = ways.select(
+        F.col("id").alias("way_id"), F.element_at("node_ids", 1).alias("first_node")
+    )
+    coords = nodes.select(
+        F.col("id").alias("node_id"),
+        from_fixed(F.col("fixed_lat")).alias("lat"),
+        from_fixed(F.col("fixed_lon")).alias("lon"),
+    )
+    wt = (
+        first_ref.join(coords, first_ref.first_node == coords.node_id, "inner")
+        .select(
+            tile_x_col(F.col("lon")).alias("xtile"),
+            tile_y_col(F.col("lat")).alias("ytile"),
+            "way_id",
+        )
+    )
+    if with_hilbert:
+        wt = wt.withColumn("cell_key", hilbert_key(F.col("xtile"), F.col("ytile")))
+    return wt
+
+
+def write_way_tiles_partitioned(
+    wt: DataFrame, path: str, num_partitions: int = 32
+) -> None:
+    """Persist way_tiles range-partitioned by Hilbert key.
+
+    repartitionByRange on the curve key gives spatially-contiguous files
+    whose (xtile, ytile) min/max stats are tight → parquet row-group /
+    file skipping prunes bbox scans, the Iceberg-partition analog of the
+    reference's sorted (x, y, wayId) B-tree range scan
+    (TileOSMSource.java:59-68). At cluster scale this is an Iceberg
+    table with a bucketed/sorted spec on cell_key.
+    """
+    if "cell_key" not in wt.columns:
+        wt = wt.withColumn("cell_key", hilbert_key(F.col("xtile"), F.col("ytile")))
+    (
+        wt.repartitionByRange(num_partitions, "cell_key")
+        .sortWithinPartitions("cell_key", "way_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rel_member_indexes(relations: DataFrame) -> dict[str, DataFrame]:
+    """The three (member_id, relation_id) inverted indexes (OSM.java:160-167).
+
+    A single explode + three type filters; Catalyst collapses each into
+    one scan + generate + filter. Returned keys: 'node', 'way', 'relation'.
+    """
+    exploded = relations.select(
+        F.col("id").alias("relation_id"), F.explode("members").alias("m")
+    ).select(
+        F.col("m.type").alias("member_type"),
+        F.col("m.member_id").alias("member_id"),
+        "relation_id",
+    )
+    return {
+        key: exploded.where(F.col("member_type") == mtype).select(
+            "member_id", "relation_id"
+        )
+        for key, mtype in (("node", "NODE"), ("way", "WAY"), ("relation", "RELATION"))
+    }
