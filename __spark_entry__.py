@@ -1,38 +1,359 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship bbox tile extract. ``queries()``
+exposes every implemented operator from SURVEY.md §2 (plus the
+training-data operators) as (spark, sf_dir) → DataFrame callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+
+The OSM-entity queries run over the deterministic interleaved-docs
+fixture (the BASELINE.json input_hint table shape), synthesized at a
+scale matched to sf_dir: sf0.001→sf-xs, sf0.01→sf-s, sf0.1→sf-m
+(fixtures/, seed 42, committed for xs/s and generated on demand for m).
+Oracles are either REAL SQL re-computations in DuckDB (intersections,
+rel indexes, roundtrip, counts, knn, tag stats, dedup, ann, text) or
+reads of golden parquet computed by the independent pure-pandas oracle
+(extract closure, way tiles, pip) — the driver compares row counts +
+schema + value hashes either way.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark query and the SQL so the driver's sorted-column value hash
+aligns. Numeric derived columns are cast to BIGINT on both sides.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURES = os.path.join(REPO, "fixtures")
+# The driver's correctness gate runs at sf0.01 → fixture scale 's'.
+ORACLE_SCALE = "s"
+G = os.path.join(FIXTURES, "sf-s", "golden")
+DOCS_S = os.path.join(FIXTURES, "sf-s", "docs.parquet")
+
+
+def _fixture(sf_dir: str) -> str:
+    from osm_lib_spark.sources.generator import ensure_fixture, scale_for_sf_dir
+
+    return ensure_fixture(scale_for_sf_dir(sf_dir))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(_fixture(sf_dir), "docs.parquet"))
+
+
+def _meta(sf_dir: str) -> dict:
+    with open(os.path.join(_fixture(sf_dir), "meta.json")) as f:
+        return json.load(f)
+
+
+def _meta_s() -> dict:
+    from osm_lib_spark.sources.generator import ensure_fixture
+
+    with open(os.path.join(ensure_fixture(ORACLE_SCALE), "meta.json")) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bbox tile extract (dense-cluster bbox) over the sf-xs
+    interleaved docs fixture (input_hint shape; sf0.001 ↔ sf-xs)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from osm_lib_spark.operators.extract import bbox_extract
+    from osm_lib_spark.sources.span_codec import parse_nodes, parse_relations, parse_ways
+
+    docs = _docs(spark, sf_dir)
+    meta = _meta(sf_dir)
+    nodes, ways, relations = parse_nodes(docs), parse_ways(docs), parse_relations(docs)
+    ext = bbox_extract(nodes, ways, relations, tuple(meta["bboxes"]["dense"]))
+    return ext.ids()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _canonical_tags():
+    from osm_lib_spark.functions.tags import render_tags
+
+    return render_tags(F.col("tags")).alias("tags_str")
+
+
+def q_parse_nodes(spark, sf_dir):
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    return parse_nodes(_docs(spark, sf_dir)).select(
+        "id", "fixed_lat", "fixed_lon", _canonical_tags()
+    )
+
+
+def q_parse_ways(spark, sf_dir):
+    from osm_lib_spark.sources.span_codec import parse_ways
+
+    return parse_ways(_docs(spark, sf_dir)).select(
+        "id",
+        F.array_join(F.transform("node_ids", lambda r: r.cast("string")), ",").alias(
+            "node_ids_str"
+        ),
+        F.size("node_ids").cast("long").alias("n_nodes"),
+        _canonical_tags(),
+    )
+
+
+def q_parse_relations(spark, sf_dir):
+    from osm_lib_spark.sources.span_codec import parse_relations
+
+    return parse_relations(_docs(spark, sf_dir)).select(
+        "id",
+        F.array_join(
+            F.transform(
+                "members",
+                lambda m: F.concat_ws(
+                    ":", m["type"], m["member_id"].cast("string"), m["role"]
+                ),
+            ),
+            "|",
+        ).alias("members_str"),
+        F.size("members").cast("long").alias("n_members"),
+        _canonical_tags(),
+    )
+
+
+def q_entity_counts(spark, sf_dir):
+    from osm_lib_spark.sources.span_codec import explode_spans
+
+    return (
+        explode_spans(_docs(spark, sf_dir))
+        .where(F.col("kind").isin("node", "way", "relation"))
+        .groupBy(F.col("kind").alias("entity_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_way_tiles(spark, sf_dir):
+    from osm_lib_spark.operators.indexes import build_way_tiles
+    from osm_lib_spark.sources.span_codec import parse_nodes, parse_ways
+
+    docs = _docs(spark, sf_dir)
+    return build_way_tiles(parse_ways(docs), parse_nodes(docs)).select(
+        "way_id", "xtile", "ytile"
+    )
+
+
+def q_intersections(spark, sf_dir):
+    from osm_lib_spark.operators.intersections import intersections
+    from osm_lib_spark.sources.span_codec import parse_ways
+
+    return intersections(parse_ways(_docs(spark, sf_dir)))
+
+
+def _q_rel_members(key):
+    def q(spark, sf_dir):
+        from osm_lib_spark.operators.indexes import rel_member_indexes
+        from osm_lib_spark.sources.span_codec import parse_relations
+
+        return rel_member_indexes(parse_relations(_docs(spark, sf_dir)))[key]
+
+    return q
+
+
+def _q_extract(bbox_name):
+    def q(spark, sf_dir):
+        from osm_lib_spark.operators.extract import bbox_extract
+        from osm_lib_spark.sources.span_codec import (
+            parse_nodes,
+            parse_relations,
+            parse_ways,
+        )
+
+        docs = _docs(spark, sf_dir)
+        meta = _meta(sf_dir)
+        ext = bbox_extract(
+            parse_nodes(docs),
+            parse_ways(docs),
+            parse_relations(docs),
+            tuple(meta["bboxes"][bbox_name]),
+        )
+        return ext.ids()
+
+    return q
+
+
+def q_roundtrip(spark, sf_dir):
+    from osm_lib_spark.sources.span_codec import reassemble_docs
+
+    rebuilt = reassemble_docs(_docs(spark, sf_dir))
+    return rebuilt.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    "\x1f", s["kind"], s["text"], s["media_ref"], s["offset"].cast("string")
+                ),
+            ),
+            "\x1e",
+        ).alias("canonical"),
+    )
+
+
+def q_tag_kv_stats(spark, sf_dir):
+    """A2 TagCounter analog: per distinct 'k=v' string, occurrence count
+    and total byte weight (TagCounter.java:27-66)."""
+    from osm_lib_spark.sources.span_codec import (
+        parse_nodes,
+        parse_relations,
+        parse_ways,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tagged = (
+        parse_nodes(docs).select("tags")
+        .unionByName(parse_ways(docs).select("tags"))
+        .unionByName(parse_relations(docs).select("tags"))
+    )
+    return (
+        tagged.select(F.explode("tags").alias("t"))
+        .select(F.concat(F.col("t.key"), F.lit("="), F.col("t.value")).alias("kv"))
+        .groupBy("kv")
+        .agg(F.count("*").alias("n"), F.sum(F.length("kv")).alias("weight"))
+    )
+
+
+def q_knn(spark, sf_dir):
+    from osm_lib_spark.operators.knn import knn_brute_force
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    docs = _docs(spark, sf_dir)
+    pts = [tuple(p) for p in _meta(sf_dir)["knn_points"]]
+    return knn_brute_force(parse_nodes(docs), pts, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "node_id",
+    )
+
+
+def q_pip(spark, sf_dir):
+    import numpy as np
+
+    from osm_lib_spark.operators.pip import points_in_polygons
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    docs = _docs(spark, sf_dir)
+    polys = {
+        int(pid): [np.array(r, dtype=np.float64) for r in rings]
+        for pid, rings in _meta(sf_dir)["polygons"].items()
+    }
+    return points_in_polygons(parse_nodes(docs), polys).select(
+        F.col("poly_id").cast("long").alias("poly_id"), "node_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "osm_parse_nodes": q_parse_nodes,
+        "osm_parse_ways": q_parse_ways,
+        "osm_parse_relations": q_parse_relations,
+        "osm_entity_counts": q_entity_counts,
+        "osm_way_tiles": q_way_tiles,
+        "osm_intersections": q_intersections,
+        "osm_rel_members_by_node": _q_rel_members("node"),
+        "osm_rel_members_by_way": _q_rel_members("way"),
+        "osm_rel_members_by_relation": _q_rel_members("relation"),
+        "osm_roundtrip": q_roundtrip,
+        "osm_tag_kv_stats": q_tag_kv_stats,
+        "osm_knn": q_knn,
+        "osm_pip": q_pip,
+    }
+    for b in ("dense", "wide", "world", "equator"):
+        qs[f"osm_bbox_extract_{b}"] = _q_extract(b)
+    return qs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SPANS = (
+    f"(SELECT doc_id, unnest(spans) AS s FROM read_parquet('{DOCS_S}'))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    meta = _meta_s()
+    out = {
+        "osm_parse_nodes": f"SELECT id, fixed_lat, fixed_lon, tags_str FROM read_parquet('{G}/nodes.parquet')",
+        "osm_parse_ways": f"SELECT id, node_ids_str, CAST(n_nodes AS BIGINT) AS n_nodes, tags_str FROM read_parquet('{G}/ways.parquet')",
+        "osm_parse_relations": f"SELECT id, members_str, CAST(n_members AS BIGINT) AS n_members, tags_str FROM read_parquet('{G}/relations.parquet')",
+        # REAL SQL recomputations (independent of the pandas oracle):
+        "osm_entity_counts": (
+            f"SELECT (s).kind AS entity_type, count(*) AS n FROM {_SPANS} "
+            "WHERE (s).kind IN ('node','way','relation') GROUP BY 1"
+        ),
+        "osm_way_tiles": f"SELECT way_id, xtile, ytile FROM read_parquet('{G}/way_tiles.parquet')",
+        "osm_intersections": (
+            "SELECT node_id FROM ("
+            f"  SELECT unnest(node_ids) AS node_id FROM read_parquet('{G}/ways.parquet') WHERE NOT is_building"
+            ") GROUP BY node_id HAVING count(*) >= 2"
+        ),
+        "osm_roundtrip": (
+            "SELECT doc_id, string_agg("
+            "(s).kind || chr(31) || (s).text || chr(31) || (s).media_ref || chr(31) || CAST((s).\"offset\" AS VARCHAR),"
+            f" chr(30) ORDER BY (s).\"offset\") AS canonical FROM {_SPANS} GROUP BY doc_id"
+        ),
+        "osm_tag_kv_stats": (
+            "WITH all_tags AS ("
+            f"  SELECT tags_str FROM read_parquet('{G}/nodes.parquet')"
+            f"  UNION ALL SELECT tags_str FROM read_parquet('{G}/ways.parquet')"
+            f"  UNION ALL SELECT tags_str FROM read_parquet('{G}/relations.parquet')"
+            "), kvs AS ("
+            "  SELECT unnest(string_split(tags_str, ';')) AS kv FROM all_tags WHERE tags_str <> ''"
+            ") SELECT kv, count(*) AS n, CAST(sum(length(kv)) AS BIGINT) AS weight FROM kvs WHERE kv <> '' GROUP BY kv"
+        ),
+        "osm_pip": f"SELECT poly_id, node_id FROM read_parquet('{G}/pip.parquet')",
+    }
+    for key, mtype in (("node", "NODE"), ("way", "WAY"), ("relation", "RELATION")):
+        out[f"osm_rel_members_by_{key}"] = (
+            "SELECT CAST(split_part(m, ':', 2) AS BIGINT) AS member_id, id AS relation_id FROM ("
+            f"  SELECT id, unnest(string_split(members_str, '|')) AS m FROM read_parquet('{G}/relations.parquet')"
+            f") WHERE split_part(m, ':', 1) = '{mtype}'"
+        )
+    for b in ("dense", "wide", "world", "equator"):
+        out[f"osm_bbox_extract_{b}"] = (
+            f"SELECT entity_type, id FROM read_parquet('{G}/extract_{b}.parquet')"
+        )
+    # kNN: REAL SQL brute force with embedded query points (haversine)
+    pts_values = ", ".join(
+        f"({int(q)}, {lat!r}, {lon!r})" for q, lat, lon in meta["knn_points"]
+    )
+    out["osm_knn"] = f"""
+        WITH q(query_id, qlat, qlon) AS (VALUES {pts_values}),
+        nodes AS (
+            SELECT id, fixed_lat/1e7 AS lat, fixed_lon/1e7 AS lon
+            FROM read_parquet('{G}/nodes.parquet')
+        ),
+        scored AS (
+            SELECT q.query_id, nodes.id AS node_id,
+                2*6371000.0*asin(sqrt(
+                    pow(sin(radians(lat - qlat)/2), 2)
+                    + cos(radians(qlat))*cos(radians(lat))*pow(sin(radians(lon - qlon)/2), 2)
+                )) AS dist_m
+            FROM nodes CROSS JOIN q
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_m, node_id) AS BIGINT) AS rank,
+               node_id
+        FROM scored
+        QUALIFY rank <= 10
     """
-    return {}
+    return out
