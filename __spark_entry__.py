@@ -259,6 +259,97 @@ def q_pip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (driver tables: documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from osm_lib_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_documents(spark, sf_dir), min_count=1)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from osm_lib_spark.operators.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(_documents(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from osm_lib_spark.operators.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from osm_lib_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+def q_text_tokens(spark, sf_dir):
+    from osm_lib_spark.operators.text import token_counts
+
+    return token_counts(_documents(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from osm_lib_spark.operators.text import quality_scores
+
+    return quality_scores(_documents(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    from osm_lib_spark.operators.text import lang_id
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from osm_lib_spark.operators.text import fingerprints
+
+    return fingerprints(_documents(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir):
+    from osm_lib_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embeddings(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from osm_lib_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_embeddings(spark, sf_dir))
+
+
+def q_emb_dup_pairs(spark, sf_dir):
+    from osm_lib_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3)
+
+
+def q_media_catalog(spark, sf_dir):
+    from osm_lib_spark.operators.multimodal import media_catalog
+
+    return media_catalog(_docs(spark, sf_dir))
+
+
+def q_media_features(spark, sf_dir):
+    from osm_lib_spark.operators.multimodal import decode_media_features
+
+    return decode_media_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "osm_parse_nodes": q_parse_nodes,
@@ -277,6 +368,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for b in ("dense", "wide", "world", "equator"):
         qs[f"osm_bbox_extract_{b}"] = _q_extract(b)
+    qs.update(
+        {
+            "dedup_exact": q_dedup_exact,
+            "dedup_minhash_pairs": q_dedup_minhash,
+            "dedup_simhash": q_dedup_simhash,
+            "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+            "text_tokens": q_text_tokens,
+            "text_quality": q_text_quality,
+            "text_langid": q_text_langid,
+            "text_fingerprint": q_text_fingerprint,
+            "ann_cosine_topk": q_ann_cosine,
+            "ann_lsh_topk": q_ann_lsh,
+            "emb_dup_pairs": q_emb_dup_pairs,
+            "media_catalog": q_media_catalog,
+            "media_features": q_media_features,
+        }
+    )
     return qs
 
 
@@ -356,4 +464,104 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 10
     """
+
+    # ---- training-data pipeline oracles ----
+    from osm_lib_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+    )
+    from osm_lib_spark.operators.text import (
+        fingerprints_sql,
+        lang_id_sql,
+        quality_scores_sql,
+        token_counts_sql,
+    )
+
+    tg = os.path.join(FIXTURES, "testdata_golden")
+    h15 = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)"
+    fold_dot = (
+        lambda a, b: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    shingle_cte = f"""
+        toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(0, greatest(len(t) - {SHINGLE_N}, 0)),
+                i -> array_to_string(t[i+1:i+{SHINGLE_N}], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+    """
+    out.update(
+        {
+            "dedup_exact": (
+                "SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id "
+                "FROM documents GROUP BY text"
+            ),
+            "dedup_minhash_pairs": f"SELECT * FROM read_parquet('{tg}/minhash_pairs.parquet')",
+            "dedup_simhash": f"""
+                SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                    CASE WHEN list_sum(list_transform(
+                        list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> {h15}),
+                        h -> ((h >> j) & 1) * 2 - 1)) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+                FROM documents
+            """,
+            "dedup_ngram_jaccard": f"""
+                WITH {shingle_cte},
+                inter AS (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                    FROM sh a JOIN sh b USING (shingle)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+                )
+                SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE inter >= {JACCARD_THRESHOLD} * (sa.sz + sb.sz - inter)
+            """,
+            "text_tokens": token_counts_sql("documents"),
+            "text_quality": quality_scores_sql("documents"),
+            "text_langid": lang_id_sql("documents"),
+            "text_fingerprint": fingerprints_sql("documents"),
+            "ann_cosine_topk": f"""
+                WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+                c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+                scored AS (
+                    SELECT query_id, neighbor_id,
+                        {fold_dot('qe', 'ce')} / (sqrt({fold_dot('qe', 'qe')}) * sqrt({fold_dot('ce', 'ce')})) AS cos
+                    FROM q CROSS JOIN c WHERE neighbor_id != query_id
+                )
+                SELECT CAST(query_id AS BIGINT) AS query_id,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+                       neighbor_id
+                FROM scored QUALIFY rank <= 10
+            """,
+            "ann_lsh_topk": f"SELECT * FROM read_parquet('{tg}/ann_lsh_topk.parquet')",
+            "emb_dup_pairs": f"""
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE {fold_dot('a.embedding', 'b.embedding')}
+                      / (sqrt({fold_dot('a.embedding', 'a.embedding')}) * sqrt({fold_dot('b.embedding', 'b.embedding')})) >= 0.3
+            """,
+            "media_catalog": f"""
+                SELECT doc_id, (s).media_ref AS media_ref,
+                       split_part((s).media_ref, '://', 1) AS scheme,
+                       split_part(split_part((s).media_ref, '://', 2), '/', 1) AS media_kind,
+                       CAST(split_part(split_part((s).media_ref, '://', 2), '/', 2) AS BIGINT) AS media_id,
+                       substr(md5((s).media_ref), 1, 16) AS sig
+                FROM {_SPANS} WHERE (s).kind = 'media'
+            """,
+            "media_features": f"""
+                SELECT doc_id, (s).media_ref AS media_ref,
+                       CAST(('0x' || substr(md5((s).media_ref || '#0'), 1, 8)) AS BIGINT) AS f0,
+                       CAST(('0x' || substr(md5((s).media_ref || '#1'), 1, 8)) AS BIGINT) AS f1,
+                       CAST(('0x' || substr(md5((s).media_ref || '#2'), 1, 8)) AS BIGINT) AS f2,
+                       CAST(('0x' || substr(md5((s).media_ref || '#3'), 1, 8)) AS BIGINT) AS f3
+                FROM {_SPANS} WHERE (s).kind = 'media'
+            """,
+        }
+    )
     return out

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small)
+  query set, score every candidate with a left-fold double dot product
+  in pure Column expressions (functions.hashing.dot_fold_col — bit-
+  identical to the DuckDB oracle), per-query top-k window. The O(Q·N)
+  correctness baseline.
+
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH. Signatures
+  are sign-bits of plane dot products (same fold kernel), candidates
+  share a signature in ≥1 band, exact cosine reranks. Returns exactly
+  top-k among candidates — approximate overall (recall measured in
+  tests), deterministic given the seed.
+
+* ``embedding_dup_pairs`` — near-duplicate pairs (cosine ≥ threshold)
+  blocked by an equality key (label) to avoid the full cross join;
+  the label-blocked variant is exact within blocks.
+
+Scale notes: brute force distributes perfectly (map-only over
+candidates, broadcast queries, top-k via partial per-partition heaps in
+the window agg). The LSH bucket join shuffles on (band, signature) —
+uniform md5/hyperplane bits mean no skew; AQE handles stragglers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm_lib_spark.functions.hashing import cosine_fold_col, dot_fold_np
+
+ANN_SEED = 7
+ANN_BITS = 16
+ANN_BANDS = 4  # 4 bits per band
+
+
+def _queries(embeddings: DataFrame, n_queries: int) -> DataFrame:
+    return embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, k: int = 10, n_queries: int = 10
+) -> DataFrame:
+    """(query_id, rank, neighbor_id): exact top-k by cosine, self excluded,
+    ties broken by neighbor_id."""
+    q = _queries(embeddings, n_queries)
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fold_col(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
+def hyperplanes(dim: int, bits: int = ANN_BITS, seed: int = ANN_SEED) -> np.ndarray:
+    """Deterministic (bits, dim) float64 hyperplane normals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature_udf(planes: np.ndarray):
+    """Vectorized Arrow UDF: embedding → int signature (sign bits).
+
+    Uses the same left-fold dot kernel as the oracle so bucket
+    assignment is deterministic and replayable.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def sig(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # (batch, dim) float32
+        out = np.zeros(len(mat), dtype=np.int64)
+        for j in range(planes.shape[0]):
+            d = dot_fold_np(mat, planes[j])
+            out |= (d > 0).astype(np.int64) << j
+        return pd.Series(out)
+
+    return sig
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    bits: int = ANN_BITS,
+    bands: int = ANN_BANDS,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH band, exact rerank."""
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = hyperplanes(dim, bits)
+    sig = lsh_signature_udf(planes)
+    rows = bits // bands
+
+    signed = embeddings.select(
+        "vec_id", "embedding", sig(F.col("embedding")).alias("sig")
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sig"), bnd * rows).bitwiseAND(F.lit((1 << rows) - 1))
+            for bnd in range(bands)
+        ]
+    )
+    banded = signed.select(
+        "vec_id", "embedding", F.posexplode(band_arr).alias("band", "band_sig")
+    )
+    q = banded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "band",
+        "band_sig",
+    )
+    c = banded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "band",
+        "band_sig",
+    )
+    cands = (
+        q.join(c, ["band", "band_sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_fold_col(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
+) -> DataFrame:
+    """(vec_a, vec_b) with cosine ≥ threshold, blocked by ``block_col``."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), block_col
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), block_col
+    )
+    return (
+        a.join(b, [block_col])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine_fold_col(F.col("ea"), F.col("eb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )

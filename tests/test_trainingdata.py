@@ -1,0 +1,169 @@
+"""Training-data operators: hand-checked unit tests + recall checks.
+
+These pin the ALGORITHM definitions on tiny inputs (the golden-parquet
+oracles in fixtures/testdata_golden validate the distributed execution
+of the same algorithms at sf0.01).
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_lib_spark.functions.hashing import (
+    cosine_fold_np,
+    md5_int_py,
+)
+from osm_lib_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from osm_lib_spark.operators.multimodal import decode_media_features, media_catalog
+from osm_lib_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from osm_lib_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from osm_lib_spark.functions.hashing import FP_BASE, MOD_FP
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "el perro y el gato en la casa de los vecinos"),  # spanish-ish
+        (6, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(tiny_docs):
+    got = exact_duplicates(tiny_docs).collect()
+    assert len(got) == 1
+    assert got[0].n_dups == 2 and got[0].keep_id == 1
+    assert got[0].text_md5 == hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
+
+
+def test_minhash_finds_near_dups(tiny_docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_dup_pairs(tiny_docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide and verify
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(tiny_docs):
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(tiny_docs, threshold=0.3).collect()
+    }
+    # doc1/doc2 identical: 7 distinct 3-gram shingles each, all shared
+    assert got[(1, 2)] == (7, 7, 7)
+    # doc1/doc3 differ in one word (token 6 of 9): windows 0-3 of 0-6 shared
+    # → Jaccard 4/10 = 0.4: included at 0.3, excluded at the default 0.5
+    assert got[(1, 3)] == (4, 7, 7)
+    default = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(tiny_docs).collect()
+    }
+    assert (1, 3) not in default and (1, 2) in default
+
+
+def test_simhash_matches_python(tiny_docs):
+    got = {r.doc_id: r.simhash for r in simhash(tiny_docs).collect()}
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    hs = [md5_int_py(t, 15) for t in toks]
+    expected = 0
+    for j in range(60):
+        if sum(((h >> j) & 1) * 2 - 1 for h in hs) > 0:
+            expected |= 1 << j
+    assert got[1] == expected == got[2]
+    assert got[1] != got[4]
+
+
+def test_text_ops_hand_checked(tiny_docs):
+    tok = {r.doc_id: (r.n_tokens, r.n_chars) for r in token_counts(tiny_docs).collect()}
+    assert tok[1] == (9, 43)
+    assert tok[6] == (1, 1)
+
+    q = {r.doc_id: r for r in quality_scores(tiny_docs).collect()}
+    assert q[1].n_words == 9 and q[1].n_stop == 2  # 'the' twice
+    assert q[1].is_quality == 1
+    assert q[6].is_quality == 0  # too short
+
+    lang = {r.doc_id: r.pred_lang for r in lang_id(tiny_docs).collect()}
+    assert lang[1] == "en"
+    assert lang[5] == "es"
+    assert lang[6] == "und"
+
+    fp = {r.doc_id: r.fingerprint for r in fingerprints(tiny_docs).collect()}
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    acc = 0
+    for t in toks:
+        acc = (acc * FP_BASE + md5_int_py(t, 8)) % MOD_FP
+    assert fp[1] == acc == fp[2]
+    # order sensitivity: doc3 differs
+    assert fp[3] != fp[1]
+
+
+@pytest.fixture(scope="module")
+def tiny_embeddings(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype(np.float32).tolist(), i % 2) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_matches_numpy(tiny_embeddings):
+    got = (
+        cosine_topk(tiny_embeddings, k=5, n_queries=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = tiny_embeddings.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    rows = []
+    for q in range(3):
+        qi = int(np.nonzero(ids == q)[0][0])
+        cos = cosine_fold_np(mat, mat[qi])
+        mask = ids != q
+        order = np.lexsort((ids[mask], -cos[mask]))[:5]
+        for rank, oi in enumerate(order, start=1):
+            rows.append((q, rank, int(ids[mask][oi])))
+    exp = pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ann_lsh_recall(tiny_embeddings):
+    brute = cosine_topk(tiny_embeddings, k=5, n_queries=5).toPandas()
+    ann = ann_lsh_topk(tiny_embeddings, k=5, n_queries=5).toPandas()
+    # per query, candidates are reranked exactly; measure recall@5
+    recall = []
+    for q in range(5):
+        b = set(brute[brute.query_id == q].neighbor_id)
+        a = set(ann[ann.query_id == q].neighbor_id)
+        recall.append(len(a & b) / len(b))
+    assert sum(recall) / len(recall) >= 0.2  # breakage guard; typical ≫
+
+
+def test_media_plumbing(docs_xs):
+    cat = media_catalog(docs_xs)
+    row = cat.first()
+    assert row.scheme == "media" and row.media_kind == "img"
+    assert row.sig == hashlib.md5(row.media_ref.encode()).hexdigest()[:16]
+
+    feats = decode_media_features(docs_xs)
+    frow = feats.first()
+    exp0 = int(hashlib.md5(f"{frow.media_ref}#0".encode()).hexdigest()[:8], 16)
+    assert frow.f0 == exp0
+    assert cat.count() == feats.count()
