@@ -350,6 +350,35 @@ def q_media_features(spark, sf_dir):
     return decode_media_features(_docs(spark, sf_dir))
 
 
+def q_osc_merge(spark, sf_dir):
+    """ST2 diff application: a deterministic changeset (delete id%97=0;
+    modify fixed_lat+1 where id%89=1; add id+1e13 clones of id%101=0)
+    applied to the parsed nodes via anti-join+union MERGE semantics
+    (OSMChangeParser.java:72-98 analog)."""
+    from osm_lib_spark.sources.span_codec import parse_nodes
+    from osm_lib_spark.streaming.changes import apply_changes
+
+    nodes = parse_nodes(_docs(spark, sf_dir))
+    deletes = nodes.where(F.col("id") % 97 == 0).select(
+        F.lit("delete").alias("action"), "id", "fixed_lat", "fixed_lon", "tags"
+    )
+    modifies = (
+        nodes.where((F.col("id") % 89 == 1) & (F.col("id") % 97 != 0))
+        .withColumn("fixed_lat", F.col("fixed_lat") + 1)
+        .select(F.lit("modify").alias("action"), "id", "fixed_lat", "fixed_lon", "tags")
+    )
+    adds = nodes.where(F.col("id") % 101 == 0).select(
+        F.lit("add").alias("action"),
+        (F.col("id") + F.lit(10_000_000_000_000)).alias("id"),
+        "fixed_lat",
+        "fixed_lon",
+        F.array().cast("array<struct<key:string,value:string>>").alias("tags"),
+    )
+    changes = deletes.unionByName(modifies).unionByName(adds)
+    merged = apply_changes(nodes, changes, key="id")
+    return merged.select("id", "fixed_lat", "fixed_lon", _canonical_tags())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "osm_parse_nodes": q_parse_nodes,
@@ -383,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "emb_dup_pairs": q_emb_dup_pairs,
             "media_catalog": q_media_catalog,
             "media_features": q_media_features,
+            "osc_merge": q_osc_merge,
         }
     )
     return qs
@@ -545,6 +575,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
                 WHERE {fold_dot('a.embedding', 'b.embedding')}
                       / (sqrt({fold_dot('a.embedding', 'a.embedding')}) * sqrt({fold_dot('b.embedding', 'b.embedding')})) >= 0.3
+            """,
+            "osc_merge": f"""
+                WITH base AS (SELECT id, fixed_lat, fixed_lon, tags_str FROM read_parquet('{G}/nodes.parquet'))
+                SELECT id, fixed_lat, fixed_lon, tags_str FROM base
+                    WHERE id % 97 <> 0 AND NOT (id % 89 = 1)
+                UNION ALL
+                SELECT id, fixed_lat + 1 AS fixed_lat, fixed_lon, tags_str FROM base
+                    WHERE id % 89 = 1 AND id % 97 <> 0
+                UNION ALL
+                SELECT id + 10000000000000 AS id, fixed_lat, fixed_lon, '' AS tags_str FROM base
+                    WHERE id % 101 = 0
             """,
             "media_catalog": f"""
                 SELECT doc_id, (s).media_ref AS media_ref,

@@ -54,6 +54,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bbox", required=True, help="minLat,minLon,maxLat,maxLon")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--checkpoint",
+        action="store_true",
+        help="checkpoint each stage with lineage rows; a re-run resumes "
+        "from the last committed stage (north-rule resume semantics)",
+    )
+    ap.add_argument(
+        "--fail-after",
+        default=None,
+        help="TESTING: abort (exit 3) after this stage commits — "
+        "simulates a mid-job kill for resume tests",
+    )
     args = ap.parse_args(argv)
 
     try:
@@ -65,16 +77,48 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("extract", master=args.master)
     t0 = time.time()
     docs = spark.read.parquet(args.docs)
-    nodes = parse_nodes(docs)
-    ways = parse_ways(docs)
-    relations = parse_relations(docs)
-    way_tiles = build_way_tiles(ways, nodes)
 
-    ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
-    counts = {}
-    for name, df in (("nodes", ext.nodes), ("ways", ext.ways), ("relations", ext.relations)):
-        df.orderBy("id").write.mode("overwrite").parquet(os.path.join(args.out, name))
-        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+    if args.checkpoint:
+        from osm_lib_spark.plans.lineage import run_stage
+
+        job_root = args.out
+        job_id = "extract"
+
+        def staged(stage, compute):
+            df = run_stage(spark, job_root, job_id, stage, compute)
+            if args.fail_after == stage:
+                print(f"aborting after stage {stage} (--fail-after)", file=sys.stderr)
+                sys.exit(3)
+            return df
+
+        nodes = staged("entities_nodes", lambda: parse_nodes(docs))
+        ways = staged("entities_ways", lambda: parse_ways(docs))
+        relations = staged("entities_relations", lambda: parse_relations(docs))
+        way_tiles = staged("way_tiles", lambda: build_way_tiles(ways, nodes))
+        ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
+        out_nodes = staged("extract_nodes", lambda: ext.nodes)
+        out_ways = staged("extract_ways", lambda: ext.ways)
+        out_rels = staged("extract_relations", lambda: ext.relations)
+        counts = {
+            "nodes": out_nodes.count(),
+            "ways": out_ways.count(),
+            "relations": out_rels.count(),
+        }
+    else:
+        nodes = parse_nodes(docs)
+        ways = parse_ways(docs)
+        relations = parse_relations(docs)
+        way_tiles = build_way_tiles(ways, nodes)
+
+        ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
+        counts = {}
+        for name, df in (
+            ("nodes", ext.nodes),
+            ("ways", ext.ways),
+            ("relations", ext.relations),
+        ):
+            df.orderBy("id").write.mode("overwrite").parquet(os.path.join(args.out, name))
+            counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
 
     print(
         json.dumps(

@@ -1,0 +1,143 @@
+"""Checkpoint/lineage + incremental-change tests (north-rule resume)."""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_lib_spark.plans.lineage import COMMIT_MARKER, LineageLog, run_stage
+from osm_lib_spark.streaming.changes import apply_changes, stream_changes
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_run_stage_commits_and_resumes(spark, tmp_path):
+    root = str(tmp_path / "job")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(100).select(
+            F.col("id"), (F.col("id") * 2).alias("doubled")
+        )
+
+    first = run_stage(spark, root, "j1", "stage_a", compute)
+    assert calls["n"] == 1
+    # resume: committed stage is NOT recomputed
+    second = run_stage(spark, root, "j1", "stage_a", compute)
+    assert calls["n"] == 1
+    pd.testing.assert_frame_equal(_sorted_pdf(first), _sorted_pdf(second))
+
+    log = LineageLog(os.path.join(root, "lineage"))
+    pdf = log.read()
+    # exactly one commit marker; no duplicate (stage, partition_id) rows
+    markers = pdf[pdf.partition_id == COMMIT_MARKER]
+    assert len(markers) == 1
+    assert not pdf.duplicated(["stage", "partition_id"]).any()
+    # total row_count in marker equals data size
+    assert int(markers.iloc[0].row_count) == 100
+
+
+def test_kill_resume_equals_uninterrupted(spark, tmp_path):
+    """FIXTURES.md §5: abort after first commit, re-run, outputs equal."""
+
+    def stage_a(sp):
+        return lambda: sp.range(50).select(F.col("id"), (F.col("id") % 7).alias("m"))
+
+    def stage_b(sp, a):
+        return lambda: a.groupBy("m").agg(F.count("*").alias("n"))
+
+    # uninterrupted reference run
+    root_ref = str(tmp_path / "ref")
+    a = run_stage(spark, root_ref, "ref", "a", stage_a(spark))
+    b_ref = run_stage(spark, root_ref, "ref", "b", stage_b(spark, a))
+
+    # killed run: only stage a commits
+    root_k = str(tmp_path / "killed")
+    run_stage(spark, root_k, "k1", "a", stage_a(spark))
+    log = LineageLog(os.path.join(root_k, "lineage"))
+    committed_at_first = log.read().committed_at.max()
+
+    # resumed run: stage a skipped (lineage unchanged), stage b computed
+    a2 = run_stage(spark, root_k, "k2", "a", stage_a(spark))
+    b2 = run_stage(spark, root_k, "k2", "b", stage_b(spark, a2))
+    pd.testing.assert_frame_equal(_sorted_pdf(b_ref), _sorted_pdf(b2))
+    pdf = log.read()
+    a_rows = pdf[pdf.stage == "a"]
+    # stage a was not recommitted: all its rows predate the resume
+    assert (a_rows.committed_at <= committed_at_first).all()
+    assert not pdf.duplicated(["stage", "partition_id"]).any()
+
+
+def test_digest_is_recomputable(spark, tmp_path):
+    root = str(tmp_path / "dig")
+    df = run_stage(
+        spark,
+        root,
+        "j",
+        "s",
+        lambda: spark.range(200).select(F.col("id"), (F.col("id") % 3).alias("k")),
+    )
+    log = LineageLog(os.path.join(root, "lineage"))
+    rows = log.partition_rows("s").set_index("partition_id")
+    recomputed = (
+        df.withColumn(
+            "_h", F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+        )
+        .groupBy("_bucket")
+        .agg(F.expr("bit_xor(_h)").alias("digest"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in recomputed:
+        assert int(rows.loc[r._bucket].digest) == int(r.digest)
+        assert int(rows.loc[r._bucket].row_count) == int(r.n)
+
+
+def test_apply_changes_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("delete", 1, None, 1),
+            ("modify", 2, "B", 2),
+            ("add", 4, "d", 3),
+            ("modify", 4, "D", 4),  # later seq wins
+        ],
+        "action string, id long, val string, seq int",
+    )
+    got = {r.id: r.val for r in apply_changes(target, changes).collect()}
+    assert got == {2: "B", 3: "c", 4: "D"}
+
+
+def test_stream_changes_ordered_batches(spark, tmp_path):
+    """Two micro-batches through Structured Streaming == batch apply."""
+    target_dir = str(tmp_path / "target")
+    change_dir = str(tmp_path / "changes")
+    os.makedirs(change_dir)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    ).write.parquet(target_dir)
+
+    pd.DataFrame(
+        {"action": ["modify", "add"], "id": [1, 3], "val": ["A", "c"], "seq": [1, 2]}
+    ).to_parquet(os.path.join(change_dir, "b1.parquet"), index=False)
+
+    state = {"df": spark.read.parquet(target_dir)}
+
+    def apply_batch(batch_df, epoch_id):
+        state["df"] = apply_changes(state["df"], batch_df).localCheckpoint(eager=True)
+
+    q = stream_changes(
+        spark,
+        change_dir,
+        "action string, id long, val string, seq long",
+        apply_batch,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.val for r in state["df"].collect()}
+    assert got == {1: "A", 2: "b", 3: "c"}
