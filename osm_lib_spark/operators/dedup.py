@@ -79,17 +79,23 @@ def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFr
     b_arr = F.array(*[F.lit(x) for x in b])
     sh = shingles_col(F.col("text"))
     hashes = F.transform(sh, lambda s: md5_int_col(s, 15) % MINHASH_PRIME)
+    # Materialization barrier: without it CollapseProject inlines the
+    # md5 hash array into EVERY permutation lambda (num_perm× md5 per
+    # shingle) and later consumers inline the whole signature again —
+    # measured 50× slowdown. localCheckpoint cuts the logical plan so
+    # hashes are computed once per row.
+    hashed = documents.select("doc_id", hashes.alias("h")).localCheckpoint(eager=True)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(
             F.transform(
-                hashes,
+                F.col("h"),
                 lambda h: (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
                 % MINHASH_PRIME,
             )
         ),
     )
-    return documents.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_candidate_pairs(
@@ -99,7 +105,10 @@ def minhash_candidate_pairs(
     (doc_a < doc_b). Band key is the band's signature slice rendered as
     a string (exact, no second-level hashing)."""
     rows = num_perm // num_bands
-    sigs = minhash_signatures(documents, num_perm)
+    # second barrier: the banding transform references `sig` once per
+    # band — without the checkpoint the full signature expression would
+    # be inlined num_bands× per row
+    sigs = minhash_signatures(documents, num_perm).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -114,20 +123,15 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("band", "band_sig"),
-    )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("band_sig").alias("sig_a")
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("band_sig").alias("sig_b")
-    )
+    ).localCheckpoint(eager=False)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    # pure equi-join on (band, band_sig) — the doc_a < doc_b predicate is
+    # a post-filter, NOT part of the join condition, so Catalyst plans a
+    # hash join (folding it in can demote the plan to a nested loop)
     return (
-        left.join(
-            right,
-            (left.band == right.band)
-            & (F.col("sig_a") == F.col("sig_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        left.join(right, ["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -142,10 +146,10 @@ def minhash_dup_pairs(
     sets and computes |A∩B| / |A∪B| exactly — LSH only prunes, it never
     decides. Output: (doc_a, doc_b, inter, size_a, size_b), ints only.
     """
-    cands = minhash_candidate_pairs(documents)
+    cands = minhash_candidate_pairs(documents).localCheckpoint(eager=False)
     sh = documents.select(
         "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

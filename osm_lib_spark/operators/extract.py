@@ -34,9 +34,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_lib_spark.functions.tiles import bbox_tile_range
-from osm_lib_spark.operators.indexes import build_way_tiles, rel_member_indexes
+from osm_lib_spark.operators.indexes import build_way_tiles
 
 MAX_CLOSURE_ITERATIONS = 50
+
+
+def relation_closure_table(relations: DataFrame) -> DataFrame:
+    """Transitive UPWARD closure of the relation-membership graph:
+    (relation_id, ancestor_id) for every relation that is reachable by
+    walking 'is member of' edges 0+ times (reflexive rows excluded).
+
+    Computed ONCE per dataset by semi-naive iteration over the (small)
+    relation→relation edge set (the relationsByRelation index,
+    OSM.java:156-158); every bbox extract then resolves its closure
+    with a single equi-join instead of an iterative per-query loop.
+    Cycle-safe: the union is distinct, growth is monotone and bounded.
+    """
+    edges = (
+        relations.select(F.col("id").alias("relation_id"), F.explode("members").alias("m"))
+        .where(F.col("m.type") == "RELATION")
+        .select(
+            F.col("m.member_id").alias("relation_id"),
+            F.col("relation_id").alias("ancestor_id"),
+        )
+    ).localCheckpoint(eager=True)
+
+    closure = edges
+    frontier = edges
+    for _ in range(MAX_CLOSURE_ITERATIONS):
+        # extend frontier paths by one parent hop
+        step = (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"),
+                F.col("f.ancestor_id") == F.col("e.relation_id"),
+            )
+            .select(
+                F.col("f.relation_id").alias("relation_id"),
+                F.col("e.ancestor_id").alias("ancestor_id"),
+            )
+            .distinct()
+        )
+        new = step.join(
+            closure, ["relation_id", "ancestor_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return closure
+
+
+@dataclass
+class ExtractContext:
+    """Cached per-dataset state shared by a batch of extracts: the three
+    relation member indexes and the transitive closure table. Build once
+    with ``prepare_extract_context``; each bbox extract is then a pure
+    join DAG with no driver-side iteration."""
+
+    rel_by_node: DataFrame
+    rel_by_way: DataFrame
+    rel_closure: DataFrame
+
+
+def prepare_extract_context(relations: DataFrame) -> ExtractContext:
+    from osm_lib_spark.operators.indexes import rel_member_indexes
+
+    idx = rel_member_indexes(relations)
+    return ExtractContext(
+        rel_by_node=idx["node"].localCheckpoint(eager=True),
+        rel_by_way=idx["way"].localCheckpoint(eager=True),
+        rel_closure=relation_closure_table(relations),
+    )
 
 
 @dataclass
@@ -45,9 +114,11 @@ class Extract:
     ways: DataFrame
     relations: DataFrame
 
-    def ids(self) -> DataFrame:
+    def ids(self, ordered: bool = True) -> DataFrame:
         """(entity_type, id) union in type-major order (O1,
-        OSMEntitySource.java:10-13): nodes, then ways, then relations."""
+        OSMEntitySource.java:10-13): nodes, then ways, then relations.
+        ``ordered=False`` skips the global sort — use when the consumer
+        only aggregates (a Sort below an Aggregate is pure waste)."""
         u = (
             self.nodes.select(F.lit("node").alias("entity_type"), "id")
             .unionByName(self.ways.select(F.lit("way").alias("entity_type"), "id"))
@@ -55,6 +126,8 @@ class Extract:
                 self.relations.select(F.lit("relation").alias("entity_type"), "id")
             )
         )
+        if not ordered:
+            return u
         type_rank = (
             F.when(F.col("entity_type") == "node", 0)
             .when(F.col("entity_type") == "way", 1)
@@ -78,20 +151,89 @@ def ways_in_bbox(
     ).select("way_id")
 
 
+def bbox_extract_batch(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    bboxes: list[tuple[float, float, float, float]],
+    way_tiles: DataFrame | None = None,
+    ctx: ExtractContext | None = None,
+) -> DataFrame:
+    """Many extracts as ONE DataFrame DAG → (bbox_id, entity_type, id).
+
+    The batch analog of the reference's concurrent extract server
+    (VanillaExtract.java:102-148): instead of one join chain per bbox,
+    the bbox set becomes a broadcast dimension table joined against
+    way_tiles with range predicates, and every downstream join carries
+    bbox_id as part of the key. A batch of B extracts costs one set of
+    shuffles (not B sets) — at cluster scale this is what turns many
+    narrow queries into one wide, scalable job.
+    """
+    spark = nodes.sparkSession
+    if way_tiles is None:
+        way_tiles = build_way_tiles(ways, nodes)
+    if ctx is None:
+        ctx = prepare_extract_context(relations)
+
+    ranges = [(i,) + bbox_tile_range(*b) for i, b in enumerate(bboxes)]
+    bbox_df = spark.createDataFrame(
+        ranges, "bbox_id int, min_x int, min_y int, max_x int, max_y int"
+    )
+    hits = way_tiles.join(
+        F.broadcast(bbox_df),
+        F.col("xtile").between(F.col("min_x"), F.col("max_x"))
+        & F.col("ytile").between(F.col("min_y"), F.col("max_y")),
+    ).select("bbox_id", "way_id")
+
+    b_ways = hits  # (bbox_id, way_id)
+    refs = (
+        b_ways.join(ways.select(F.col("id").alias("way_id"), "node_ids"), "way_id")
+        .select("bbox_id", F.explode("node_ids").alias("ref_id"))
+        .distinct()
+    )
+    b_nodes = refs.join(
+        nodes.select(F.col("id").alias("ref_id")), "ref_id", "left_semi"
+    ).select("bbox_id", F.col("ref_id").alias("node_id"))
+
+    rel_n = ctx.rel_by_node.join(
+        b_nodes.withColumnRenamed("node_id", "member_id"), "member_id"
+    ).select("bbox_id", "relation_id")
+    rel_w = ctx.rel_by_way.join(
+        b_ways.withColumnRenamed("way_id", "member_id"), "member_id"
+    ).select("bbox_id", "relation_id")
+    seen = rel_n.unionByName(rel_w).distinct()
+    ancestors = seen.join(ctx.rel_closure, "relation_id").select(
+        "bbox_id", F.col("ancestor_id").alias("relation_id")
+    )
+    b_rels = seen.unionByName(ancestors).distinct()
+
+    return (
+        b_nodes.select("bbox_id", F.lit("node").alias("entity_type"), F.col("node_id").alias("id"))
+        .unionByName(b_ways.select("bbox_id", F.lit("way").alias("entity_type"), F.col("way_id").alias("id")))
+        .unionByName(b_rels.select("bbox_id", F.lit("relation").alias("entity_type"), F.col("relation_id").alias("id")))
+    )
+
+
 def bbox_extract(
     nodes: DataFrame,
     ways: DataFrame,
     relations: DataFrame,
     bbox: tuple[float, float, float, float],
     way_tiles: DataFrame | None = None,
+    ctx: ExtractContext | None = None,
 ) -> Extract:
     """Full extract. ``bbox`` = (min_lat, min_lon, max_lat, max_lon).
 
     ``way_tiles`` may be a pre-built (ideally Hilbert-partitioned) index
-    table; if None it is derived on the fly from ways+nodes.
+    table; if None it is derived on the fly. ``ctx`` (from
+    ``prepare_extract_context``) is reused across a batch of extracts —
+    the relation closure then costs ONE join per extract instead of an
+    iterative loop.
     """
     if way_tiles is None:
         way_tiles = build_way_tiles(ways, nodes)
+    if ctx is None:
+        ctx = prepare_extract_context(relations)
     hit_ways = ways_in_bbox(way_tiles, bbox)
 
     # J2: fetch way rows. left_semi keeps the probe side lean.
@@ -105,13 +247,12 @@ def bbox_extract(
 
     # J3/J4: relations referencing extracted nodes (by nodeId — intended
     # semantics) or extracted ways.
-    idx = rel_member_indexes(relations)
-    rel_by_node = idx["node"].join(
+    rel_by_node = ctx.rel_by_node.join(
         extract_nodes.select(F.col("id").alias("nid")),
         F.col("member_id") == F.col("nid"),
         "left_semi",
     )
-    rel_by_way = idx["way"].join(
+    rel_by_way = ctx.rel_by_way.join(
         extract_ways.select(F.col("id").alias("wid")),
         F.col("member_id") == F.col("wid"),
         "left_semi",
@@ -122,27 +263,19 @@ def bbox_extract(
         .distinct()
     )
 
-    # J5: upward closure — relations that reference already-seen
-    # relations, semi-naive to fixpoint (TileOSMSource.java:112-132).
-    by_rel = idx["relation"].localCheckpoint(eager=True)
-    seen = seen.localCheckpoint(eager=True)
-    frontier = seen
-    for _ in range(MAX_CLOSURE_ITERATIONS):
-        frontier_ids = frontier.select(F.col("relation_id").alias("member_rel_id"))
-        parents = (
-            by_rel.join(
-                frontier_ids, by_rel.member_id == frontier_ids.member_rel_id, "left_semi"
-            )
-            .select(F.col("relation_id"))
-            .distinct()
+    # J5: upward closure resolved in ONE join against the precomputed
+    # transitive closure table (TileOSMSource.java:112-132 semantics).
+    ancestors = (
+        ctx.rel_closure.join(
+            seen.withColumnRenamed("relation_id", "seen_id"),
+            ctx.rel_closure.relation_id == F.col("seen_id"),
+            "left_semi",
         )
-        new = parents.join(seen, "relation_id", "left_anti").localCheckpoint(eager=True)
-        if new.isEmpty():
-            break
-        seen = seen.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
+        .select(F.col("ancestor_id").alias("relation_id"))
+    )
+    all_rels = seen.unionByName(ancestors).distinct()
 
     extract_rels = relations.join(
-        seen, relations.id == seen.relation_id, "left_semi"
+        all_rels, relations.id == all_rels.relation_id, "left_semi"
     )
     return Extract(nodes=extract_nodes, ways=extract_ways, relations=extract_rels)

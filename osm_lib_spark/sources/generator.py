@@ -375,7 +375,9 @@ def write_fixture(scale: str, out_dir: str) -> None:
     os.makedirs(os.path.join(out_dir, "golden"), exist_ok=True)
 
     docs = build_docs(world)
-    pq.write_table(docs, os.path.join(out_dir, "docs.parquet"))
+    # small row groups: Spark parallelizes a parquet scan at row-group
+    # granularity — one giant row group would serialize every scan
+    pq.write_table(docs, os.path.join(out_dir, "docs.parquet"), row_group_size=10_000)
 
     g = os.path.join(out_dir, "golden")
 
