@@ -379,6 +379,60 @@ def q_osc_merge(spark, sf_dir):
     return merged.select("id", "fixed_lat", "fixed_lon", _canonical_tags())
 
 
+def q_delta_roundtrip(spark, sf_dir):
+    """W1-W4/F4 delta+zigzag codec as window functions: encode node ids
+    per block, zigzag the deltas, decode back (decoded must equal id)."""
+    from osm_lib_spark.functions.delta import (
+        delta_decode,
+        delta_encode,
+        zigzag_decode,
+        zigzag_encode,
+    )
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    nodes = parse_nodes(_docs(spark, sf_dir)).select(
+        "id", (F.col("id") % 16).alias("block")
+    )
+    enc = delta_encode(nodes, "id", "block", "id")
+    enc = enc.withColumn("zz", zigzag_encode(F.col("delta"))).withColumn(
+        "unzz", zigzag_decode(F.col("zz"))
+    )
+    dec = delta_decode(enc, "delta", "block", "id", out_col="decoded")
+    return dec.select("id", "block", "delta", "zz", "unzz", "decoded")
+
+
+def q_cardinality_stats(spark, sf_dir):
+    """A3/A4 counting + NodeTracker-cardinality analog in one row."""
+    from osm_lib_spark.operators.intersections import intersections
+    from osm_lib_spark.sources.span_codec import parse_ways
+
+    ways = parse_ways(_docs(spark, sf_dir))
+    refs = ways.select(F.explode("node_ids").alias("node_id"))
+    stats = refs.agg(
+        F.count("*").alias("n_ref_total"),
+        F.count_distinct("node_id").alias("n_ref_distinct"),
+    ).crossJoin(ways.agg(F.count("*").alias("n_ways")))
+    inter = intersections(ways).agg(F.count("*").alias("n_intersections"))
+    return stats.crossJoin(inter).select(
+        "n_ways", "n_ref_total", "n_ref_distinct", "n_intersections"
+    )
+
+
+def q_ways_enriched(spark, sf_dir):
+    """J7 SpeedSetter analog: upsert maxspeed from a derived side table
+    (ways with id%10==3 get maxspeed=(id%120)+10), tag rewritten in
+    place per add_or_replace semantics (OSMEntity.java:91-102)."""
+    from osm_lib_spark.operators.enrich import enrich_tags
+    from osm_lib_spark.sources.span_codec import parse_ways
+
+    ways = parse_ways(_docs(spark, sf_dir))
+    updates = ways.where(F.col("id") % 10 == 3).select(
+        "id", ((F.col("id") % 120) + 10).cast("string").alias("value")
+    )
+    enriched = enrich_tags(ways, updates, "maxspeed")
+    return enriched.select("id", _canonical_tags())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "osm_parse_nodes": q_parse_nodes,
@@ -413,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_catalog": q_media_catalog,
             "media_features": q_media_features,
             "osc_merge": q_osc_merge,
+            "codec_delta_roundtrip": q_delta_roundtrip,
+            "osm_cardinality_stats": q_cardinality_stats,
+            "osm_ways_enriched": q_ways_enriched,
         }
     )
     return qs
@@ -586,6 +643,47 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT id + 10000000000000 AS id, fixed_lat, fixed_lon, '' AS tags_str FROM base
                     WHERE id % 101 = 0
+            """,
+            "codec_delta_roundtrip": f"""
+                WITH nodes AS (SELECT id, id % 16 AS block FROM read_parquet('{G}/nodes.parquet')),
+                enc AS (
+                    SELECT id, block,
+                           CASE WHEN lag(id) OVER w IS NULL THEN id
+                                ELSE id - lag(id) OVER w END AS delta
+                    FROM nodes WINDOW w AS (PARTITION BY block ORDER BY id)
+                )
+                SELECT id, block, delta,
+                       xor(delta * 2, delta >> 63) AS zz,
+                       xor((xor(delta * 2, delta >> 63) >> 1) & 9223372036854775807,
+                           -(xor(delta * 2, delta >> 63) & 1)) AS unzz,
+                       CAST(sum(delta) OVER (PARTITION BY block ORDER BY id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS decoded
+                FROM enc
+            """,
+            "osm_cardinality_stats": f"""
+                WITH refs AS (
+                    SELECT unnest(node_ids) AS node_id, is_building
+                    FROM read_parquet('{G}/ways.parquet')
+                )
+                SELECT (SELECT count(*) FROM read_parquet('{G}/ways.parquet')) AS n_ways,
+                       count(*) AS n_ref_total,
+                       count(DISTINCT node_id) AS n_ref_distinct,
+                       (SELECT count(*) FROM (
+                            SELECT node_id FROM (
+                                SELECT unnest(node_ids) AS node_id
+                                FROM read_parquet('{G}/ways.parquet') WHERE NOT is_building)
+                            GROUP BY node_id HAVING count(*) >= 2)) AS n_intersections
+                FROM refs
+            """,
+            "osm_ways_enriched": f"""
+                SELECT id,
+                       CASE WHEN id % 10 <> 3 THEN tags_str
+                            WHEN regexp_matches(tags_str, '(^|;)maxspeed=')
+                                THEN regexp_replace(tags_str, '(^|;)maxspeed=[^;]*',
+                                     '\\1maxspeed=' || CAST((id % 120) + 10 AS VARCHAR))
+                            ELSE tags_str || 'maxspeed=' || CAST((id % 120) + 10 AS VARCHAR) || ';'
+                       END AS tags_str
+                FROM read_parquet('{G}/ways.parquet')
             """,
             "media_catalog": f"""
                 SELECT doc_id, (s).media_ref AS media_ref,
