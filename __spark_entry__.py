@@ -433,6 +433,14 @@ def q_ways_enriched(spark, sf_dir):
     return enriched.select("id", _canonical_tags())
 
 
+def q_raster_density(spark, sf_dir):
+    """Vector→raster: node density on the z12 tile grid, one shuffle."""
+    from osm_lib_spark.operators.raster import rasterize_nodes
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    return rasterize_nodes(parse_nodes(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "osm_parse_nodes": q_parse_nodes,
@@ -470,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_delta_roundtrip": q_delta_roundtrip,
             "osm_cardinality_stats": q_cardinality_stats,
             "osm_ways_enriched": q_ways_enriched,
+            "raster_node_density": q_raster_density,
         }
     )
     return qs
@@ -684,6 +693,13 @@ def oracle_sql() -> dict[str, str]:
                             ELSE tags_str || 'maxspeed=' || CAST((id % 120) + 10 AS VARCHAR) || ';'
                        END AS tags_str
                 FROM read_parquet('{G}/ways.parquet')
+            """,
+            "raster_node_density": f"""
+                SELECT CAST(floor((fixed_lon/1e7 + 180.0)/360.0 * 4096.0) AS INT) AS xtile,
+                       CAST(floor((1.0 - ln(tan(radians(fixed_lat/1e7)) + 1.0/cos(radians(fixed_lat/1e7)))/pi())/2.0 * 4096.0) AS INT) AS ytile,
+                       count(*) AS n_points
+                FROM read_parquet('{G}/nodes.parquet')
+                GROUP BY 1, 2
             """,
             "media_catalog": f"""
                 SELECT doc_id, (s).media_ref AS media_ref,
