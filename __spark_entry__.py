@@ -441,6 +441,79 @@ def q_raster_density(spark, sf_dir):
     return rasterize_nodes(parse_nodes(_docs(spark, sf_dir)))
 
 
+def q_ways_resolved(spark, sf_dir):
+    """J1 way→node resolved-geometry materialization with ORDER restored
+    via posexplode + sort_array (TileOSMSource.java:77-84 semantics:
+    orphan refs skipped, sequence preserved)."""
+    from osm_lib_spark.sources.span_codec import parse_nodes, parse_ways
+
+    docs = _docs(spark, sf_dir)
+    ways, nodes = parse_ways(docs), parse_nodes(docs)
+    refs = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "ref")
+    )
+    joined = refs.join(
+        nodes.select(F.col("id").alias("ref"), "fixed_lat", "fixed_lon"), "ref"
+    )
+    pts = joined.groupBy("way_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", "fixed_lat", "fixed_lon"))
+        ).alias("pts")
+    )
+    return pts.select(
+        "way_id",
+        F.array_join(
+            F.transform(
+                "pts",
+                lambda p: F.concat_ws(
+                    ":", p["fixed_lat"].cast("string"), p["fixed_lon"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("geometry"),
+        F.size("pts").cast("long").alias("n_resolved"),
+    )
+
+
+def q_events_window_counts(spark, sf_dir):
+    """Tumbling 5-minute windowed counts over the events stream table
+    (batch form of the streaming windowed agg; wall-clock bucket key so
+    the result is session-timezone-proof)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    bucket = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:"),
+        F.lpad(((F.floor(F.minute("ts") / 5) * 5)).cast("string"), 2, "0"),
+    )
+    return ev.groupBy(bucket.alias("window_start"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_tpch_q1_lite(spark, sf_dir):
+    """Relational sanity (TPC-H Q1 shape, exact-arithmetic columns)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_tpch_join_lite(spark, sf_dir):
+    """3-way join shape: per-nation lineitem volume."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "osm_parse_nodes": q_parse_nodes,
@@ -479,6 +552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "osm_cardinality_stats": q_cardinality_stats,
             "osm_ways_enriched": q_ways_enriched,
             "raster_node_density": q_raster_density,
+            "osm_ways_resolved": q_ways_resolved,
+            "events_window_counts": q_events_window_counts,
+            "tpch_q1_lite": q_tpch_q1_lite,
+            "tpch_join_lite": q_tpch_join_lite,
         }
     )
     return qs
@@ -700,6 +777,40 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_points
                 FROM read_parquet('{G}/nodes.parquet')
                 GROUP BY 1, 2
+            """,
+            "osm_ways_resolved": f"""
+                WITH refs AS (
+                    SELECT id AS way_id, unnest(node_ids) AS ref,
+                           generate_subscripts(node_ids, 1) AS ord
+                    FROM read_parquet('{G}/ways.parquet')
+                ),
+                joined AS (
+                    SELECT r.way_id, r.ord, n.fixed_lat, n.fixed_lon
+                    FROM refs r JOIN read_parquet('{G}/nodes.parquet') n ON r.ref = n.id
+                )
+                SELECT way_id,
+                       string_agg(CAST(fixed_lat AS VARCHAR) || ':' || CAST(fixed_lon AS VARCHAR), ',' ORDER BY ord) AS geometry,
+                       count(*) AS n_resolved
+                FROM joined GROUP BY way_id
+            """,
+            "events_window_counts": """
+                SELECT strftime(ts, '%Y-%m-%d %H:') ||
+                       lpad(CAST(CAST(floor(minute(ts)/5)*5 AS INT) AS VARCHAR), 2, '0') AS window_start,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            """,
+            "tpch_q1_lite": """
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                       count(*) AS n_items
+                FROM lineitem GROUP BY 1, 2
+            """,
+            "tpch_join_lite": """
+                SELECT c_nationkey, count(*) AS n_items,
+                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1
             """,
             "media_catalog": f"""
                 SELECT doc_id, (s).media_ref AS media_ref,
