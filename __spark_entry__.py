@@ -332,6 +332,12 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf(spark, sf_dir):
+    from osm_lib_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embeddings(spark, sf_dir))
+
+
 def q_emb_dup_pairs(spark, sf_dir):
     from osm_lib_spark.operators.similarity import embedding_dup_pairs
 
@@ -544,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_fingerprint": q_text_fingerprint,
             "ann_cosine_topk": q_ann_cosine,
             "ann_lsh_topk": q_ann_lsh,
+            "ann_ivf_topk": q_ann_ivf,
             "emb_dup_pairs": q_emb_dup_pairs,
             "media_catalog": q_media_catalog,
             "media_features": q_media_features,
@@ -713,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored QUALIFY rank <= 10
             """,
             "ann_lsh_topk": f"SELECT * FROM read_parquet('{tg}/ann_lsh_topk.parquet')",
+            "ann_ivf_topk": f"SELECT * FROM read_parquet('{tg}/ann_ivf_topk.parquet')",
             "emb_dup_pairs": f"""
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
                 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -162,6 +162,93 @@ def ann_lsh_topk(
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_STRIDE = 31  # centroid j = embedding of vec_id j*stride (16*31=496 fits all scales)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors to ``nlist``
+    centroid lists, probe the ``nprobe`` closest lists per query, exact
+    cosine rerank within the probed lists.
+
+    Centroid 'training' is a deterministic sample (vec_id = j·stride) so
+    the numpy golden oracle reproduces the index bit-for-bit; a real
+    deployment would k-means on a sample — the dataflow is identical.
+    Scale shape: assignment is a broadcast(Nlist)×N map + max_by agg
+    (one shuffle on vec_id); the query path touches only nprobe/nlist
+    of the corpus — the standard IVF selectivity.
+    """
+    cent = (
+        embeddings.where(
+            (F.col("vec_id") % IVF_STRIDE == 0)
+            & (F.col("vec_id") < nlist * IVF_STRIDE)
+        )
+        .select(
+            (F.col("vec_id") / IVF_STRIDE).cast("int").alias("list_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    # assignment: argmax cosine over centroids (broadcast cross join)
+    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "list_id",
+        cosine_fold_col(F.col("embedding"), F.col("c_emb")).alias("ccos"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("list_id", F.struct(F.col("ccos"), -F.col("list_id"))).alias("list_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    # query probes: top-nprobe lists per query
+    q = assign.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "list_id",
+            cosine_fold_col(F.col("q_emb"), F.col("c_emb")).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id").asc())
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "q_emb", "list_id")
+    )
+    cands = (
+        probes.join(assign.select("vec_id", "list_id", "embedding"), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    rescored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_fold_col(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
 ) -> DataFrame:

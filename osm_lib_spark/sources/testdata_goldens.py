@@ -118,6 +118,44 @@ def golden_ann_lsh_topk(
     )
 
 
+def golden_ivf_topk(
+    embeddings: pd.DataFrame, k: int = 10, n_queries: int = 10
+) -> pd.DataFrame:
+    from osm_lib_spark.operators.similarity import IVF_NLIST, IVF_NPROBE, IVF_STRIDE
+
+    mat = np.stack(embeddings["embedding"].to_numpy()).astype(np.float64)
+    ids = embeddings["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    mat, ids = mat[order], ids[order]
+    norms = np.sqrt(dot_fold_np(mat, mat))
+
+    cent_ids = [j * IVF_STRIDE for j in range(IVF_NLIST)]
+    cent_idx = [int(np.nonzero(ids == c)[0][0]) for c in cent_ids]
+    # assignment: argmax cosine over centroids (first max = smallest list)
+    cos_cent = np.stack(
+        [
+            dot_fold_np(mat, mat[ci]) / (norms * norms[ci])
+            for ci in cent_idx
+        ],
+        axis=1,
+    )
+    assign = np.argmax(cos_cent, axis=1)
+
+    out = []
+    for qv in range(n_queries):
+        qi = int(np.nonzero(ids == qv)[0][0])
+        probe_scores = cos_cent[qi]
+        probes = np.lexsort((np.arange(IVF_NLIST), -probe_scores))[:IVF_NPROBE]
+        cand_mask = np.isin(assign, probes)
+        cand_mask[qi] = False
+        ci = np.nonzero(cand_mask)[0]
+        cos = dot_fold_np(mat[ci], mat[qi]) / (norms[ci] * norms[qi])
+        top = np.lexsort((ids[ci], -cos))[:k]
+        for rank, oi in enumerate(top, start=1):
+            out.append((qv, rank, int(ids[ci][oi])))
+    return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"]).astype("int64")
+
+
 def write_goldens(sf_dir: str = SF_DIR, out_dir: str = GOLDEN_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     documents = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -127,6 +165,9 @@ def write_goldens(sf_dir: str = SF_DIR, out_dir: str = GOLDEN_DIR) -> None:
     )
     golden_ann_lsh_topk(embeddings).to_parquet(
         os.path.join(out_dir, "ann_lsh_topk.parquet"), index=False
+    )
+    golden_ivf_topk(embeddings).to_parquet(
+        os.path.join(out_dir, "ann_ivf_topk.parquet"), index=False
     )
 
 
