@@ -191,9 +191,15 @@ def bbox_extract_batch(
         .select("bbox_id", F.explode("node_ids").alias("ref_id"))
         .distinct()
     )
-    b_nodes = refs.join(
-        nodes.select(F.col("id").alias("ref_id")), "ref_id", "left_semi"
-    ).select("bbox_id", F.col("ref_id").alias("node_id"))
+    # lazy checkpoint: b_nodes feeds BOTH the node output and the
+    # node→relation join; Spark plans union branches as separate
+    # subtrees (no ReuseExchange matched here), so without the barrier
+    # the explode+distinct+semi-join chain executes twice per run
+    b_nodes = (
+        refs.join(nodes.select(F.col("id").alias("ref_id")), "ref_id", "left_semi")
+        .select("bbox_id", F.col("ref_id").alias("node_id"))
+        .localCheckpoint(eager=False)
+    )
 
     rel_n = ctx.rel_by_node.join(
         b_nodes.withColumnRenamed("node_id", "member_id"), "member_id"
