@@ -153,28 +153,23 @@ def run_suite(spark, sf_dir: str) -> dict:
     embeddings = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).repartition(width)
 
     from osm_lib_spark.operators.dedup import minhash_dup_pairs, simhash
-    from osm_lib_spark.operators.similarity import ann_lsh_topk, cosine_topk
+    from osm_lib_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
     from osm_lib_spark.operators.text import fingerprints
 
-    t0 = time.time()
-    minhash_dup_pairs(documents).count()
-    timings["dedup_minhash"] = time.time() - t0
+    def timed_warm(name, fn):
+        # first run absorbs codegen/Arrow-worker spin-up; record the
+        # second (fresh DAG each call — operators may checkpoint inside)
+        fn().count()
+        t = time.time()
+        fn().count()
+        timings[name] = time.time() - t
 
-    t0 = time.time()
-    simhash(documents).count()
-    timings["dedup_simhash"] = time.time() - t0
-
-    t0 = time.time()
-    fingerprints(documents).count()
-    timings["text_fingerprint"] = time.time() - t0
-
-    t0 = time.time()
-    cosine_topk(embeddings).count()
-    timings["ann_cosine_topk"] = time.time() - t0
-
-    t0 = time.time()
-    ann_lsh_topk(embeddings).count()
-    timings["ann_lsh_topk"] = time.time() - t0
+    timed_warm("dedup_minhash", lambda: minhash_dup_pairs(documents))
+    timed_warm("dedup_simhash", lambda: simhash(documents))
+    timed_warm("text_fingerprint", lambda: fingerprints(documents))
+    timed_warm("ann_cosine_topk", lambda: cosine_topk(embeddings))
+    timed_warm("ann_lsh_topk", lambda: ann_lsh_topk(embeddings))
+    timed_warm("ann_ivf_topk", lambda: ivf_topk(embeddings))
 
     extras["n_nodes"] = n_nodes
     extras["n_ways"] = n_ways

@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--way-tiles",
+        default=None,
+        help="path to a prebuilt Hilbert-partitioned way_tiles store "
+        "(write_way_tiles_partitioned); skips deriving the index",
+    )
+    ap.add_argument(
         "--checkpoint",
         action="store_true",
         help="checkpoint each stage with lineage rows; a re-run resumes "
@@ -94,7 +100,10 @@ def main(argv: list[str] | None = None) -> int:
         nodes = staged("entities_nodes", lambda: parse_nodes(docs))
         ways = staged("entities_ways", lambda: parse_ways(docs))
         relations = staged("entities_relations", lambda: parse_relations(docs))
-        way_tiles = staged("way_tiles", lambda: build_way_tiles(ways, nodes))
+        if args.way_tiles:
+            way_tiles = spark.read.parquet(args.way_tiles)
+        else:
+            way_tiles = staged("way_tiles", lambda: build_way_tiles(ways, nodes))
         ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
         out_nodes = staged("extract_nodes", lambda: ext.nodes)
         out_ways = staged("extract_ways", lambda: ext.ways)
@@ -108,7 +117,10 @@ def main(argv: list[str] | None = None) -> int:
         nodes = parse_nodes(docs)
         ways = parse_ways(docs)
         relations = parse_relations(docs)
-        way_tiles = build_way_tiles(ways, nodes)
+        if args.way_tiles:
+            way_tiles = spark.read.parquet(args.way_tiles)
+        else:
+            way_tiles = build_way_tiles(ways, nodes)
 
         ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
         counts = {}
