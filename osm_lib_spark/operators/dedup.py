@@ -105,25 +105,26 @@ def minhash_candidate_pairs(
     (doc_a < doc_b). Band key is the band's signature slice rendered as
     a string (exact, no second-level hashing)."""
     rows = num_perm // num_bands
-    # second barrier: the banding transform references `sig` once per
-    # band — without the checkpoint the full signature expression would
-    # be inlined num_bands× per row
-    sigs = minhash_signatures(documents, num_perm).localCheckpoint(eager=True)
+    # banding happens INSIDE the same projection as the signature (the
+    # transform references `sig` as a lambda variable, so it is computed
+    # once per row — no second materialization barrier needed; the only
+    # eager checkpoint is the md5 hash array inside minhash_signatures)
+    sigs = minhash_signatures(documents, num_perm)
+    band_of = lambda sig_col: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda bnd: F.array_join(
+            F.transform(
+                F.slice(sig_col, bnd * rows + 1, rows), lambda v: v.cast("string")
+            ),
+            ",",
+        ),
+    )
     bands = sigs.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda bnd: F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), bnd * rows + 1, rows),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                ),
-            )
+            F.transform(F.array(F.col("sig")), band_of).getItem(0)
         ).alias("band", "band_sig"),
-    ).localCheckpoint(eager=False)
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     # pure equi-join on (band, band_sig) — the doc_a < doc_b predicate is
