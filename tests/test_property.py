@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the codec kernels — the
+NodeTrackerTest.java-style differential testing of SURVEY §5.3, widened
+to generated inputs. Spark column paths are exercised by batching all
+generated cases into ONE DataFrame per test (keeps runtime sane)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from osm_lib_spark.functions.delta import zigzag_decode, zigzag_encode
+from osm_lib_spark.functions.tags import parse_tags, render_tags
+from osm_lib_spark.functions.tiles import np_tile_x, np_tile_y, tile_x_col, tile_y_col
+
+# tag keys/values under the codec's constraints: no ';' (pair separator),
+# keys also exclude '=' (first '=' splits), both non-empty-key, no
+# control chars that would collide with canonical separators
+_tag_key = st.text(
+    alphabet=st.characters(blacklist_characters=";=\x1e\x1f", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=12,
+)
+_tag_val = st.text(
+    alphabet=st.characters(blacklist_characters=";\x1e\x1f", blacklist_categories=("Cs",)),
+    max_size=16,
+)
+_tags = st.lists(st.tuples(_tag_key, _tag_val), max_size=6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_tags, min_size=1, max_size=20))
+def test_tag_render_parse_roundtrip(spark, tag_lists):
+    """parse(render(tags)) == tags for any codec-legal ordered tag list
+    (duplicates, unicode, '=' in values all allowed)."""
+    rendered = [
+        ";".join(f"{k}={v}" for k, v in tags) + (";" if tags else "") for tags in tag_lists
+    ]
+    df = spark.createDataFrame([(s,) for s in rendered], ["s"])
+    out = df.select(
+        F.col("s"), render_tags(parse_tags(F.col("s"))).alias("back")
+    ).collect()
+    for r in out:
+        assert r.back == r.s
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62 - 1), min_size=1, max_size=50))
+def test_zigzag_roundtrip_property(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "n long")
+    out = df.select(
+        "n",
+        zigzag_encode(F.col("n")).alias("z"),
+        zigzag_decode(zigzag_encode(F.col("n"))).alias("back"),
+    ).collect()
+    for r in out:
+        assert r.back == r.n
+        # zigzag maps small magnitudes to small non-negatives
+        if -(2**31) < r.n < 2**31:
+            assert r.z >= 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-85.0, max_value=85.0, allow_nan=False),
+            st.floats(min_value=-179.999999, max_value=179.999999, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_tile_math_jvm_equals_numpy_property(spark, coords):
+    """The JVM Column tile formulas and the numpy oracle must agree on
+    arbitrary coordinates (not just the fixture's)."""
+    lats = np.array([c[0] for c in coords])
+    lons = np.array([c[1] for c in coords])
+    df = spark.createDataFrame(list(coords), "lat double, lon double")
+    got = df.select(
+        tile_x_col(F.col("lon")).alias("x"), tile_y_col(F.col("lat")).alias("y")
+    ).toPandas()
+    np.testing.assert_array_equal(np.sort(got["x"].to_numpy()), np.sort(np_tile_x(lons)))
+    np.testing.assert_array_equal(np.sort(got["y"].to_numpy()), np.sort(np_tile_y(lats)))
