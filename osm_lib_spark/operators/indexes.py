@@ -7,6 +7,8 @@ B-trees, recomputed (or incrementally merged) from the entity tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,6 +71,45 @@ def write_way_tiles_partitioned(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_entities_bucketed(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    database_prefix: str = "osm",
+    n_buckets: int = 32,
+) -> dict[str, str]:
+    """Persist entity tables BUCKETED by id (managed tables).
+
+    Bucketing is the co-location contract the reference gets from its
+    id-sorted B-trees (OSM.java:126-140): two tables bucketed by the
+    same key with the same bucket count join WITHOUT a shuffle on
+    either side — at 100 TB the way→node resolution join against a
+    bucketed node store is shuffle-free on the node side, which is the
+    single largest data movement in the engine. (On a cluster this is
+    the Iceberg `bucket(N, id)` partition transform.)
+
+    Returns {logical name: table name}.
+    """
+    import shutil
+
+    spark = nodes.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    names = {}
+    for name, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
+        table = f"{database_prefix}_{name}"
+        # a crashed previous write can leave an orphan managed location
+        # that blocks saveAsTable even in overwrite mode — clear both
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+        df.write.mode("overwrite").bucketBy(n_buckets, "id").sortBy("id").saveAsTable(
+            table
+        )
+        names[name] = table
+    return names
 
 
 def rel_member_indexes(relations: DataFrame) -> dict[str, DataFrame]:
