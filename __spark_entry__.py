@@ -24,12 +24,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:  # driver may import this module from another cwd
+    sys.path.insert(0, REPO)
 FIXTURES = os.path.join(REPO, "fixtures")
 # The driver's correctness gate runs at sf0.01 → fixture scale 's'.
 ORACLE_SCALE = "s"
