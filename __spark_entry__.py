@@ -523,6 +523,25 @@ def q_tpch_join_lite(spark, sf_dir):
     )
 
 
+def q_cells_multires(spark, sf_dir):
+    """S2-style hierarchical cells: per z8 ancestor cell, the node count
+    and the number of distinct z12 descendant cells (coarse blocking +
+    fine refinement keys from one codegen bit-op expression)."""
+    from osm_lib_spark.functions.cells import cell_ancestor, cell_at
+    from osm_lib_spark.functions.geo import from_fixed
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    nodes = parse_nodes(_docs(spark, sf_dir))
+    lat = from_fixed(F.col("fixed_lat"))
+    lon = from_fixed(F.col("fixed_lon"))
+    c12 = cell_at(lat, lon, 12)
+    return (
+        nodes.select(c12.alias("c12"), cell_ancestor(c12, 8).alias("cell8"))
+        .groupBy("cell8")
+        .agg(F.count("*").alias("n_nodes"), F.count_distinct("c12").alias("n_cells12"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "osm_parse_nodes": q_parse_nodes,
@@ -562,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "osm_cardinality_stats": q_cardinality_stats,
             "osm_ways_enriched": q_ways_enriched,
             "raster_node_density": q_raster_density,
+            "cells_multires": q_cells_multires,
             "osm_ways_resolved": q_ways_resolved,
             "events_window_counts": q_events_window_counts,
             "tpch_q1_lite": q_tpch_q1_lite,
@@ -822,6 +842,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey = c_custkey
                 GROUP BY 1
+            """,
+            "cells_multires": f"""
+                WITH pts AS (
+                    SELECT CAST(floor((fixed_lon/1e7 + 180.0)/360.0 * 4096.0) AS BIGINT) AS x12,
+                           CAST(floor((1.0 - ln(tan(radians(fixed_lat/1e7)) + 1.0/cos(radians(fixed_lat/1e7)))/pi())/2.0 * 4096.0) AS BIGINT) AS y12
+                    FROM read_parquet('{G}/nodes.parquet')
+                ),
+                cells AS (
+                    SELECT (CAST(12 AS BIGINT) << 58) | (x12 << 29) | y12 AS c12,
+                           (CAST(8 AS BIGINT) << 58) | ((x12 // 16) << 29) | (y12 // 16) AS cell8
+                    FROM pts
+                )
+                SELECT cell8, count(*) AS n_nodes, count(DISTINCT c12) AS n_cells12
+                FROM cells GROUP BY cell8
             """,
             "media_catalog": f"""
                 SELECT doc_id, (s).media_ref AS media_ref,
