@@ -246,6 +246,23 @@ def q_knn(spark, sf_dir):
     )
 
 
+def q_knn_kring(spark, sf_dir):
+    """North-star kNN path: iterative k-ring tile expansion, batched
+    frontier DAG (one job per doubling round over ALL unsatisfied
+    queries). Exactness is oracle-gated against the independent SQL
+    brute force — k-ring must equal brute force bit-for-bit."""
+    from osm_lib_spark.operators.knn import knn_kring
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    docs = _docs(spark, sf_dir)
+    pts = [tuple(p) for p in _meta(sf_dir)["knn_points"]]
+    return knn_kring(parse_nodes(docs), pts, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "node_id",
+    )
+
+
 def q_pip(spark, sf_dir):
     import numpy as np
 
@@ -556,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_roundtrip": q_roundtrip,
         "osm_tag_kv_stats": q_tag_kv_stats,
         "osm_knn": q_knn,
+        "osm_knn_kring": q_knn_kring,
         "osm_pip": q_pip,
     }
     for b in ("dense", "wide", "world", "equator"):
@@ -667,6 +685,8 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 10
     """
+    # k-ring expansion is exact ⇒ must match the SAME brute-force SQL
+    out["osm_knn_kring"] = out["osm_knn"]
 
     # ---- training-data pipeline oracles ----
     from osm_lib_spark.operators.dedup import (

@@ -8,7 +8,7 @@ pure bit-op Column expressions, so multi-resolution spatial joins
 (coarse-cell blocking → fine-cell refinement) are plain equi-joins.
 
 Layout (int64, always positive):
-    cell_id = (zoom << 58) | (x << 29) | y      zoom ∈ [0, 30], x/y < 2^29
+    cell_id = (zoom << 58) | (x << 29) | y      zoom ∈ [0, 29], x/y < 2^29
 
 Algebra (all codegen Column exprs):
     parent(c)      = zoom-1, x>>1, y>>1
@@ -28,13 +28,18 @@ from pyspark.sql import functions as F
 
 from osm_lib_spark.functions.tiles import tile_x_col, tile_y_col
 
-MAX_ZOOM = 30
+# x/y occupy 29 bits, so zoom-29 tile coords (< 2^29) are the deepest
+# that fit without overflowing into the zoom field; cell_ancestor's
+# exact-division trick also requires dz <= 29.
+MAX_ZOOM = 29
 _ZSHIFT = 58
 _XSHIFT = 29
 
 
 def cell_at(lat: Column, lon: Column, zoom: int) -> Column:
     """(lat, lon) → cell id at ``zoom`` (int64 Column)."""
+    if not 0 <= zoom <= MAX_ZOOM:
+        raise ValueError(f"zoom must be in [0, {MAX_ZOOM}], got {zoom}")
     x = tile_x_col(lon, zoom).cast("long")
     y = tile_y_col(lat, zoom).cast("long")
     return (

@@ -9,14 +9,33 @@ Two strategies, both exact:
   (codegen), per-query top-k via window. O(Q·N) — the correctness
   baseline and fine when Q is small.
 
-* ``knn_kring`` — the scale path: candidates are restricted to tiles
-  within an expanding Chebyshev ring around each query's z12 tile.
-  The ring radius starts at ``initial_ring`` and doubles until (a) at
-  least k candidates are found AND (b) the k-th candidate distance is
-  ≤ the minimum possible distance to any unexplored tile — the
-  correctness guard that makes ring expansion exact, not approximate.
-  The tile filter prunes the Hilbert-partitioned node/way-tile store,
-  so each query touches O(ring²) tiles instead of the planet.
+* ``knn_kring`` — the scale path: ONE DataFrame DAG per expansion
+  round over the whole *frontier* of unsatisfied queries (the same
+  frontier discipline as the relation closure in operators/extract).
+  Each round broadcasts a (query_id, xtile-strip) table and hash-joins
+  it against the tile-keyed node store, so per-node cost is one hash
+  probe regardless of frontier size — never a per-query Spark job, and
+  never a broadcast-nested-loop over range predicates. Ring radii
+  double per round, so a query that terminates at radius R has scanned
+  ≤ 4/3 · (2R+1)² tiles total (geometric series). The only driver
+  traffic per round is one Q-row stats collect (count + k-th distance
+  per frontier query) to decide which queries are satisfied — control
+  flow only, never candidate data.
+
+Exactness guard: a query stops expanding only when it has k hits AND
+its k-th distance is ≤ a proven LOWER bound on the distance to any
+point outside the explored ring. North/south ring edges bound by the
+meridian distance to the bounding parallel; east/west edges by the
+meridian CROSS-TRACK distance R·asin(cos(qlat)·sin(Δλ)) — the
+same-latitude haversine overstates the minimum (the closest point of
+a meridian lies poleward), which at large radii/high latitudes could
+stop the loop while a closer node exists outside the ring.
+
+At 100 TB the node store is the Hilbert-range-partitioned table built
+by operators/indexes (one tile ↦ one partition range), so the strip
+hash-join's build side is the broadcast and the probe side streams
+straight off the columnar scan; storage-level pruning comes from the
+frontier's global tile bounding box pushed down as a min/max predicate.
 """
 
 from __future__ import annotations
@@ -26,7 +45,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from osm_lib_spark.functions.geo import from_fixed, haversine_m
+from osm_lib_spark.functions.geo import EARTH_RADIUS_M, from_fixed, haversine_m
 from osm_lib_spark.functions.tiles import NTILES, np_tile_bbox, np_tile_x, np_tile_y
 
 import numpy as np
@@ -72,48 +91,79 @@ def knn_brute_force(
     return _topk(joined, k)
 
 
-def _ring_tiles(qx: int, qy: int, radius: int) -> list[tuple[int, int]]:
-    """All tiles within Chebyshev radius (clamped to the grid; x wraps)."""
-    tiles = []
-    for dx in range(-radius, radius + 1):
-        for dy in range(-radius, radius + 1):
-            x = (qx + dx) % NTILES
-            y = qy + dy
-            if 0 <= y < NTILES:
-                tiles.append((x, y))
-    return tiles
-
-
 def _min_dist_beyond_ring(qlat: float, qlon: float, qx: int, qy: int, radius: int) -> float:
-    """Lower bound on distance to any point OUTSIDE the ring.
+    """Lower bound on haversine distance to any point OUTSIDE the ring
+    of Chebyshev ``radius`` tiles around (qx, qy).
 
-    Conservative: Chebyshev ring of ``radius`` tiles guarantees every
-    unexplored point is ≥ (radius) tile-heights/widths away in at
-    least one axis; we take the min over the four ring edges of the
-    haversine to the nearest edge line, computed at tile granularity.
+    Any point outside the ring lies either north of the ring's top
+    parallel, south of its bottom parallel, or beyond one of its two
+    boundary meridians. The bound is the min over the applicable edges:
+
+    * parallels: great-circle distance along the query's own meridian
+      (exact — the nearest point of a parallel is due north/south);
+    * meridians: cross-track distance R·asin(cos(qlat)·sin(Δλ)) — any
+      great-circle path from the query (inside the ring's longitude
+      interval) to a point outside it crosses a boundary meridian, and
+      the cross-track distance lower-bounds the distance to that
+      meridian's full great circle. (The same-latitude haversine
+      2R·asin(cos·sin(Δλ/2)) OVERSTATES the minimum and is unsafe.)
+
+    Returns ``inf`` when the ring covers the whole grid (nothing is
+    outside), letting the caller terminate even with < k total nodes.
     """
     from osm_lib_spark.functions.geo import np_haversine_m
 
-    # Ring bbox edges in degrees
-    north, _, _, _ = np_tile_bbox(np.array([qx]), np.array([max(qy - radius, 0)]))
-    _, south, _, _ = np_tile_bbox(
-        np.array([qx]), np.array([min(qy + radius, NTILES - 1)])
+    x_covered = 2 * radius + 1 >= NTILES
+    y_top_open = qy - radius > 0
+    y_bot_open = qy + radius < NTILES - 1
+
+    bounds: list[float] = []
+    if y_top_open:
+        north, _, _, _ = np_tile_bbox(np.array([qx]), np.array([qy - radius]))
+        bounds.append(float(np_haversine_m(qlat, qlon, float(north[0]), qlon)))
+    if y_bot_open:
+        _, south, _, _ = np_tile_bbox(np.array([qx]), np.array([qy + radius]))
+        bounds.append(float(np_haversine_m(qlat, qlon, float(south[0]), qlon)))
+    if not x_covered:
+        # wrap-aware boundary meridians: west edge of the ring's western
+        # tile column, east edge of its eastern tile column
+        wx = (qx - radius) % NTILES
+        ex = (qx + radius) % NTILES
+        _, _, _, west_lon = np_tile_bbox(np.array([wx]), np.array([qy]))
+        _, _, east_lon, _ = np_tile_bbox(np.array([ex]), np.array([qy]))
+        for edge_lon in (float(west_lon[0]), float(east_lon[0])):
+            dlon = abs(math.radians(edge_lon - qlon)) % (2.0 * math.pi)
+            dlon = min(dlon, 2.0 * math.pi - dlon)  # ∈ [0, π]
+            ct = EARTH_RADIUS_M * math.asin(
+                min(1.0, abs(math.cos(math.radians(qlat)) * math.sin(dlon)))
+            )
+            bounds.append(ct)
+    if not bounds:
+        return math.inf
+    return min(bounds)
+
+
+def _frontier_strips(spark, frontier: list[dict]) -> DataFrame:
+    """Frontier → one row per (query, xtile column in its ring).
+
+    The strip table is the broadcast build side of a HASH join on
+    xtile (wrap-aware via modulo), carrying the query's y-range and
+    coordinates; per-node probe cost is O(1) in the frontier size.
+    """
+    rows = []
+    for f in frontier:
+        r = f["radius"]
+        if 2 * r + 1 >= NTILES:
+            xs = range(NTILES)
+        else:
+            xs = ((f["qx"] + dx) % NTILES for dx in range(-r, r + 1))
+        ymin = max(f["qy"] - r, 0)
+        ymax = min(f["qy"] + r, NTILES - 1)
+        for x in xs:
+            rows.append((f["query_id"], int(x), ymin, ymax, f["qlat"], f["qlon"]))
+    return spark.createDataFrame(
+        rows, "query_id int, xtile int, ymin int, ymax int, qlat double, qlon double"
     )
-    _, _, _, west = np_tile_bbox(np.array([max(qx - radius, 0)]), np.array([qy]))
-    _, _, east, _ = np_tile_bbox(
-        np.array([min(qx + radius, NTILES - 1)]), np.array([qy])
-    )
-    if qy - radius <= 0 or qy + radius >= NTILES - 1:
-        return 0.0  # ring reaches the pole rows — no bound
-    if qx - radius <= 0 or qx + radius >= NTILES - 1:
-        return 0.0  # wrapped the antimeridian — be conservative
-    cands = [
-        np_haversine_m(qlat, qlon, float(north[0]), qlon),  # top edge
-        np_haversine_m(qlat, qlon, float(south[0]), qlon),  # bottom edge
-        np_haversine_m(qlat, qlon, qlat, float(west[0])),  # left edge
-        np_haversine_m(qlat, qlon, qlat, float(east[0])),  # right edge
-    ]
-    return float(min(float(c) for c in cands))
 
 
 def knn_kring(
@@ -123,56 +173,104 @@ def knn_kring(
     initial_ring: int = 1,
     max_ring: int = NTILES,
 ) -> DataFrame:
-    """Exact kNN via iterative k-ring tile expansion, one query at a time.
+    """Exact kNN via batched iterative k-ring expansion.
 
-    Per query: filter nodes to the tile ring (a prunable (xtile, ytile)
-    IN-range predicate), take top-k, and stop once the k-th distance is
-    within the proven bound of the explored ring. Results match
-    ``knn_brute_force`` exactly (asserted in tests).
+    One Spark job per expansion ROUND (not per query): all unsatisfied
+    queries join the tile-keyed store together through a broadcast
+    strip table; satisfied queries leave the frontier. Results match
+    ``knn_brute_force`` exactly (asserted in tests and oracle-gated as
+    ``osm_knn_kring`` against an independent SQL brute force).
     """
     spark = nodes.sparkSession
-    coords = _nodes_with_coords(nodes).withColumn(
-        "xtile", F.floor((F.col("lon") + 180.0) / 360.0 * NTILES).cast("int")
+    coords = (
+        _nodes_with_coords(nodes)
+        .withColumn(
+            "xtile",
+            F.pmod(
+                F.floor((F.col("lon") + 180.0) / 360.0 * NTILES).cast("int"), F.lit(NTILES)
+            ),
+        )
     )
     from osm_lib_spark.functions.tiles import tile_y_col
 
-    coords = coords.withColumn("ytile", tile_y_col(F.col("lat"))).cache()
+    # clamp polar outliers onto the edge rows so ring expansion reaches them
+    coords = coords.withColumn(
+        "ytile",
+        F.least(F.greatest(tile_y_col(F.col("lat")), F.lit(0)), F.lit(NTILES - 1)),
+    ).cache()
 
-    out: DataFrame | None = None
-    for qid, qlat, qlon in query_points:
-        qx = int(np_tile_x(np.array([qlon]))[0])
-        qy = int(np_tile_y(np.array([qlat]))[0])
-        radius = initial_ring
-        result = None
-        while True:
-            cand = coords.where(
-                (F.col("xtile").between(max(qx - radius, 0), min(qx + radius, NTILES - 1)))
-                & (F.col("ytile").between(max(qy - radius, 0), min(qy + radius, NTILES - 1)))
-            ).select(
-                F.lit(qid).alias("query_id"),
+    frontier = [
+        dict(
+            query_id=int(qid),
+            qlat=float(qlat),
+            qlon=float(qlon),
+            qx=int(np_tile_x(np.array([qlon]))[0]) % NTILES,
+            qy=min(max(int(np_tile_y(np.array([qlat]))[0]), 0), NTILES - 1),
+            radius=max(int(initial_ring), 1),
+        )
+        for qid, qlat, qlon in query_points
+    ]
+    parts: list[DataFrame] = []
+
+    while frontier:
+        strips = _frontier_strips(spark, frontier)
+        cand = (
+            coords.join(F.broadcast(strips), "xtile")
+            .where(F.col("ytile").between(F.col("ymin"), F.col("ymax")))
+            .select(
+                "query_id",
                 "node_id",
                 haversine_m(
-                    F.lit(qlat), F.lit(qlon), F.col("lat"), F.col("lon")
+                    F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
                 ).alias("dist_m"),
             )
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("dist_m").asc(), F.col("node_id").asc()
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col("node_id").asc()
+        )
+        # ≤ k·|frontier| rows — materialize once, reuse for stats + results
+        ranked = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("rank").cast("int").alias("rank"),
+                "node_id",
+                "dist_m",
             )
-            top = (
-                cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select("query_id", F.col("rank").cast("int").alias("rank"), "node_id", "dist_m")
-            ).collect()
-            bound = _min_dist_beyond_ring(qlat, qlon, qx, qy, radius)
-            if (len(top) >= k and top[-1].dist_m <= bound) or radius >= max_ring:
-                rows = [(r.query_id, r.rank, r.node_id) for r in top]
-                result = spark.createDataFrame(
-                    rows, "query_id int, rank int, node_id long"
+            .localCheckpoint(eager=True)
+        )
+        stats = {
+            r.query_id: (int(r.cnt), float(r.kth))
+            for r in ranked.groupBy("query_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
+            .collect()
+        }
+
+        satisfied_ids, next_frontier = [], []
+        for f in frontier:
+            cnt, kth = stats.get(f["query_id"], (0, math.inf))
+            bound = _min_dist_beyond_ring(
+                f["qlat"], f["qlon"], f["qx"], f["qy"], f["radius"]
+            )
+            covered_all = math.isinf(bound)
+            if covered_all or (cnt >= k and kth <= bound) or f["radius"] >= max_ring:
+                satisfied_ids.append(f["query_id"])
+            else:
+                f["radius"] = min(f["radius"] * 2, max_ring)
+                next_frontier.append(f)
+        if satisfied_ids:
+            parts.append(
+                ranked.where(F.col("query_id").isin(satisfied_ids)).select(
+                    "query_id", "rank", "node_id"
                 )
-                break
-            radius = min(radius * 2, max_ring) if radius < max_ring else max_ring
-            if radius == 0:
-                radius = 1
-        out = result if out is None else out.unionByName(result)
+            )
+        frontier = next_frontier
+
     coords.unpersist()
+    if not parts:
+        return spark.createDataFrame([], "query_id int, rank int, node_id long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

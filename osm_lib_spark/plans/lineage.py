@@ -120,7 +120,9 @@ def run_stage(
     log = LineageLog(os.path.join(job_root, "lineage"))
     stage_dir = os.path.join(job_root, stage)
     if stage in log.committed_stages():
-        return spark.read.parquet(stage_dir)
+        # `_bucket` (when synthesized below) is partition bookkeeping,
+        # not part of the stage's logical schema — never surface it.
+        return spark.read.parquet(stage_dir).drop("_bucket")
 
     df = compute()
     if bucket_col is None:
@@ -136,7 +138,11 @@ def run_stage(
     df.write.mode("overwrite").partitionBy(bucket).parquet(stage_dir)
     written = spark.read.parquet(stage_dir)
 
-    canonical_cols = [c for c in written.columns]
+    # digest covers the LOGICAL schema only — the synthetic _bucket is
+    # partition bookkeeping and not part of the stage's output contract
+    canonical_cols = [
+        c for c in written.columns if not (bucket_col is None and c == "_bucket")
+    ]
     digest_src = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in canonical_cols])))
     stats = (
         written.withColumn("_digest_src", digest_src)
@@ -174,7 +180,9 @@ def run_stage(
         )
     )
     log.append(rows)
-    return written
+    # drop the synthetic bucket so checkpointed and non-checkpointed
+    # runs emit the same schema (drop is a no-op for user bucket cols)
+    return written.drop("_bucket")
 
 
 def new_job_id() -> str:

@@ -35,7 +35,10 @@ def apply_changes(target: DataFrame, changes: DataFrame, key: str = "id") -> Dat
     (reference applies them identically — a put — per
     OSMChangeParser.java:72-85). Within one batch the LAST change per
     id wins, mirroring in-order application; ordering inside a batch is
-    by the change sequence column ``seq`` when present.
+    by the change sequence column ``seq``. A batch WITHOUT ``seq`` must
+    have unique ids — "last wins" is undefined without an order, and
+    silently keeping an arbitrary row (old dropDuplicates fallback)
+    made delete-then-add nondeterministic. Such batches raise.
     """
     order_col = "seq" if "seq" in changes.columns else None
     if order_col:
@@ -48,7 +51,19 @@ def apply_changes(target: DataFrame, changes: DataFrame, key: str = "id") -> Dat
             .drop("_rn")
         )
     else:
-        changes = changes.dropDuplicates([key])
+        dup = (
+            changes.groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"apply_changes: batch has multiple changes for {key}="
+                f"{dup[0][key]} but no 'seq' ordering column; per-batch "
+                "order is undefined — add a seq column"
+            )
 
     touched = changes.select(key).distinct()
     survivors = target.join(touched, key, "left_anti")

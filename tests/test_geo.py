@@ -65,6 +65,98 @@ def test_knn_kring_matches_brute_force(nodes_xs, meta_xs):
     pd.testing.assert_frame_equal(brute, ring, check_dtype=False)
 
 
+def test_ring_bound_is_lower_bound_high_lat():
+    """_min_dist_beyond_ring must LOWER-bound the distance to every
+    point outside the ring. At high latitude + large radius the old
+    same-latitude-haversine east/west bound overstated (nearest point
+    of a meridian lies poleward); the cross-track bound must not."""
+    from osm_lib_spark.functions.geo import np_haversine_m
+    from osm_lib_spark.functions.tiles import NTILES, np_tile_bbox, np_tile_x, np_tile_y
+    from osm_lib_spark.operators.knn import _min_dist_beyond_ring
+
+    rng = np.random.default_rng(7)
+    for qlat, qlon, radius in [(60.0, 10.0, 200), (75.0, -120.0, 400), (55.0, 179.0, 64)]:
+        qx = int(np_tile_x(np.array([qlon]))[0]) % NTILES
+        qy = int(np_tile_y(np.array([qlat]))[0])
+        bound = _min_dist_beyond_ring(qlat, qlon, qx, qy, radius)
+        # sample points on the four outside-boundary tile rows/columns
+        xs = rng.integers(0, NTILES, 4000)
+        ys = rng.integers(0, NTILES, 4000)
+        outside = ~(
+            (np.minimum(np.abs(xs - qx), NTILES - np.abs(xs - qx)) <= radius)
+            & (np.abs(ys - qy) <= radius)
+        )
+        xs, ys = xs[outside], ys[outside]
+        north, south, east, west = np_tile_bbox(xs, ys)
+        # all four tile corners of each outside tile
+        for lat_c in (north, south):
+            for lon_c in (east, west):
+                d = np_haversine_m(qlat, qlon, lat_c, lon_c)
+                assert (d >= bound - 1e-6).all(), (qlat, qlon, radius)
+
+
+def test_knn_kring_meridian_edge_case(spark):
+    """Adversarial layout exploiting the OLD (overstated) east/west
+    bound: at lat 60 / radius 200 tiles, the same-latitude haversine to
+    the boundary meridian exceeds the true cross-track minimum by ~9km.
+    Ten in-ring nodes sit in that gap's shadow (dist ≈ old bound − ε),
+    while the true 1-NN sits just OUTSIDE the west meridian at the
+    cross-track foot point. The corrected bound must keep expanding and
+    surface the outside node; the old bound terminated and missed it."""
+    import math
+
+    from osm_lib_spark.functions.geo import np_haversine_m
+    from osm_lib_spark.functions.tiles import np_tile_bbox, np_tile_x, np_tile_y
+    from osm_lib_spark.operators.knn import _min_dist_beyond_ring
+
+    qlat, qlon = 60.0, 20.0
+    radius = 200
+    qx = int(np_tile_x(np.array([qlon]))[0])
+    qy = int(np_tile_y(np.array([qlat]))[0])
+    _, _, _, west_lon = np_tile_bbox(np.array([qx - radius]), np.array([qy]))
+    west_lon = float(west_lon[0])
+
+    # outside node at the meridian's closest point to the query
+    dlon = math.radians(qlon - west_lon)
+    foot_lat = math.degrees(math.atan(math.tan(math.radians(qlat)) / math.cos(dlon)))
+    out_lat, out_lon = foot_lat, west_lon - 0.02
+    out_dist = float(np_haversine_m(qlat, qlon, out_lat, out_lon))
+
+    # ten in-ring nodes due south, distances a few km past the outside node
+    rows = [(1, out_lat, out_lon)]
+    for i in range(10):
+        in_lat = qlat - math.degrees((out_dist + 4000 + 200.0 * i) / 6_371_000.0)
+        rows.append((2 + i, in_lat, qlon))
+    in_dists = [float(np_haversine_m(qlat, qlon, la, lo)) for _, la, lo in rows[1:]]
+
+    # preconditions that make the case adversarial
+    bound = _min_dist_beyond_ring(qlat, qlon, qx, qy, radius)
+    assert bound <= out_dist  # corrected bound is a true lower bound
+    assert out_dist < min(in_dists)  # outside node is the true 1-NN
+    assert max(in_dists) > bound  # so the ring must keep expanding
+    in_tiles_y = np.abs(np_tile_y(np.array([la for _, la, _ in rows[1:]])) - qy)
+    assert (in_tiles_y <= radius).all()  # shadow nodes are inside the ring
+    assert int(np_tile_x(np.array([out_lon]))[0]) < qx - radius  # 1-NN is outside
+
+    nodes = spark.createDataFrame(
+        [(rid, int(la * 1e7), int(lo * 1e7), []) for rid, la, lo in rows],
+        "id long, fixed_lat int, fixed_lon int, tags array<struct<key:string,value:string>>",
+    )
+    pts = [(0, qlat, qlon)]
+    brute = knn_brute_force(nodes, pts, k=10).toPandas().sort_values("rank")
+    ring = (
+        knn_kring(nodes, pts, k=10, initial_ring=radius)
+        .toPandas()
+        .sort_values("rank")
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        brute.reset_index(drop=True), ring.reset_index(drop=True), check_dtype=False
+    )
+    assert ring.iloc[0].node_id == 1  # the outside node won
+
+
 def test_pip_vs_golden(nodes_xs, fixture_xs, meta_xs):
     polys = {
         int(pid): [np.array(r, dtype=np.float64) for r in rings]

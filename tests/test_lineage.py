@@ -81,11 +81,17 @@ def test_digest_is_recomputable(spark, tmp_path):
         "s",
         lambda: spark.range(200).select(F.col("id"), (F.col("id") % 3).alias("k")),
     )
+    # returned DF surfaces the logical schema only (no synthetic bucket)
+    assert "_bucket" not in df.columns
     log = LineageLog(os.path.join(root, "lineage"))
     rows = log.partition_rows("s").set_index("partition_id")
+    # a verifier recomputes digests from the on-disk stage parquet,
+    # hashing the logical columns and grouping by the partition column
+    on_disk = spark.read.parquet(os.path.join(root, "s"))
+    logical = [c for c in on_disk.columns if c != "_bucket"]
     recomputed = (
-        df.withColumn(
-            "_h", F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+        on_disk.withColumn(
+            "_h", F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in logical])))
         )
         .groupBy("_bucket")
         .agg(F.expr("bit_xor(_h)").alias("digest"), F.count("*").alias("n"))
