@@ -263,6 +263,25 @@ def q_knn_kring(spark, sf_dir):
     )
 
 
+BANGOR_PBF = "/root/reference/src/test/resources/bangor_maine.osm.pbf"
+
+
+def q_pbf_bangor_counts(spark, sf_dir):
+    """S1/K1 byte-level PBF codec parity on REAL reference data: decode
+    the reference's own test fixture and count entities per type. The
+    oracle is the reference's hard-coded golden counts
+    (OSMTest.java:14-17): 35747 nodes / 2976 ways / 34 relations —
+    fully independent of this engine."""
+    from osm_lib_spark.sources.pbf import read_pbf
+
+    ents = read_pbf(spark, BANGOR_PBF)
+    return (
+        ents.groupBy("entity_type")
+        .agg(F.count("*").alias("n"))
+        .select("entity_type", F.col("n").cast("long").alias("n"))
+    )
+
+
 def q_pip(spark, sf_dir):
     import numpy as np
 
@@ -574,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_tag_kv_stats": q_tag_kv_stats,
         "osm_knn": q_knn,
         "osm_knn_kring": q_knn_kring,
+        "pbf_bangor_counts": q_pbf_bangor_counts,
         "osm_pip": q_pip,
     }
     for b in ("dense", "wide", "world", "equator"):
@@ -687,6 +707,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # k-ring expansion is exact ⇒ must match the SAME brute-force SQL
     out["osm_knn_kring"] = out["osm_knn"]
+
+    # reference's own golden counts for bangor_maine.osm.pbf
+    # (OSMTest.java:14-17) — independent of this engine's decoder
+    out["pbf_bangor_counts"] = """
+        SELECT * FROM (VALUES
+            ('node', CAST(35747 AS BIGINT)),
+            ('way', CAST(2976 AS BIGINT)),
+            ('relation', CAST(34 AS BIGINT))
+        ) AS t(entity_type, n)
+    """
 
     # ---- training-data pipeline oracles ----
     from osm_lib_spark.operators.dedup import (
