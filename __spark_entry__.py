@@ -365,10 +365,13 @@ def q_ann_cosine(spark, sf_dir):
     return cosine_topk(_embeddings(spark, sf_dir))
 
 
+EMB_DIM = 64  # generator writes 64-dim embeddings at every scale
+
+
 def q_ann_lsh(spark, sf_dir):
     from osm_lib_spark.operators.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(_embeddings(spark, sf_dir))
+    return ann_lsh_topk(_embeddings(spark, sf_dir), dim=EMB_DIM)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -380,7 +383,7 @@ def q_ann_ivf(spark, sf_dir):
 def q_emb_dup_pairs(spark, sf_dir):
     from osm_lib_spark.operators.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3)
+    return embedding_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3, dim=EMB_DIM)
 
 
 def q_media_catalog(spark, sf_dir):
@@ -638,6 +641,96 @@ _SPANS = (
 )
 
 
+def _minhash_oracle_sql(shingle_cte: str) -> str:
+    """DuckDB SQL recomputing the whole MinHash+LSH pipeline from the
+    raw documents — signatures, banding, candidate join, exact verify —
+    independently of the Spark implementation (shares only the public
+    constants: seed-42 coefficients, prime, band layout, threshold)."""
+    from osm_lib_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_PRIME,
+        NUM_BANDS,
+        NUM_PERM,
+        _perm_coeffs,
+    )
+
+    a, b = _perm_coeffs(NUM_PERM)
+    rows = NUM_PERM // NUM_BANDS
+    a_lit = "[" + ", ".join(str(x) for x in a) + "]"
+    b_lit = "[" + ", ".join(str(x) for x in b) + "]"
+    h15_sh = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+    return f"""
+        WITH {shingle_cte},
+        hs AS (
+            SELECT doc_id, list({h15_sh} % {MINHASH_PRIME}) AS hs FROM sh GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id, list_transform(generate_series(1, {NUM_PERM}), i ->
+                list_min(list_transform(hs, h ->
+                    (({a_lit})[i] * h + ({b_lit})[i]) % {MINHASH_PRIME}))) AS sig
+            FROM hs
+        ),
+        bands AS (
+            SELECT doc_id, bnd,
+                   array_to_string(sig[(bnd - 1) * {rows} + 1 : bnd * {rows}], ',') AS band_sig
+            FROM sigs CROSS JOIN (SELECT unnest(generate_series(1, {NUM_BANDS})) AS bnd)
+        ),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y ON x.bnd = y.bnd AND x.band_sig = y.band_sig
+            WHERE x.doc_id < y.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cands c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter, za.sz AS size_a, zb.sz AS size_b
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE inter >= {JACCARD_THRESHOLD} * (za.sz + zb.sz - inter)
+    """
+
+
+def _lsh_cte(fold_dot) -> str:
+    """DuckDB CTEs recomputing the random-hyperplane LSH signatures and
+    band keys from LITERAL plane constants (seed-7 hyperplanes embedded
+    as doubles) — independent of the Spark Arrow UDF; both use the same
+    left-fold dot kernel so sign bits agree bit-for-bit."""
+    from osm_lib_spark.operators.similarity import (
+        ANN_BANDS,
+        ANN_BITS,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(EMB_DIM, ANN_BITS)
+    pl = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+        )
+        + "]"
+    )
+    rows = ANN_BITS // ANN_BANDS
+    return f"""
+        sigs AS (
+            SELECT vec_id, embedding,
+                   CAST(list_sum(list_transform(generate_series(1, {ANN_BITS}), j ->
+                       CASE WHEN {fold_dot('embedding', f'({pl})[j]')} > 0
+                            THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS sig
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, embedding, bnd,
+                   (sig >> ((bnd - 1) * {rows})) & {(1 << rows) - 1} AS band_sig
+            FROM sigs CROSS JOIN (SELECT unnest(generate_series(1, {ANN_BANDS})) AS bnd)
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     meta = _meta_s()
     out = {
@@ -753,7 +846,13 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id "
                 "FROM documents GROUP BY text"
             ),
-            "dedup_minhash_pairs": f"SELECT * FROM read_parquet('{tg}/minhash_pairs.parquet')",
+            # FULL independent recomputation of minhash LSH + exact
+            # verify in DuckDB (no same-algorithm golden): md5-prefix
+            # shingle hashes, 32 permutations with the seed-42 literal
+            # coefficients, 8-band signature join, naive intersection
+            # verify. Must hash-match the Spark banded+array_intersect
+            # plan exactly.
+            "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_simhash": f"""
                 SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
                     CASE WHEN list_sum(list_transform(
@@ -792,13 +891,78 @@ def oracle_sql() -> dict[str, str]:
                        neighbor_id
                 FROM scored QUALIFY rank <= 10
             """,
-            "ann_lsh_topk": f"SELECT * FROM read_parquet('{tg}/ann_lsh_topk.parquet')",
-            "ann_ivf_topk": f"SELECT * FROM read_parquet('{tg}/ann_ivf_topk.parquet')",
+            # full independent SQL recomputation of the LSH path:
+            # literal seed-7 hyperplanes → sign-bit signatures → band
+            # join → exact cosine rerank (golden parquet retired)
+            "ann_lsh_topk": f"""
+                WITH {_lsh_cte(fold_dot)},
+                q AS (SELECT vec_id AS query_id, embedding AS qe, bnd, band_sig
+                      FROM bands WHERE vec_id < 10),
+                cands AS (
+                    SELECT DISTINCT q.query_id, q.qe, c.vec_id AS neighbor_id, c.embedding AS ce
+                    FROM q JOIN bands c USING (bnd, band_sig)
+                    WHERE c.vec_id != q.query_id
+                ),
+                scored AS (
+                    SELECT query_id, neighbor_id,
+                        {fold_dot('qe', 'ce')} / (sqrt({fold_dot('qe', 'qe')}) * sqrt({fold_dot('ce', 'ce')})) AS cos
+                    FROM cands
+                )
+                SELECT CAST(query_id AS BIGINT) AS query_id,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+                       neighbor_id
+                FROM scored QUALIFY rank <= 10
+            """,
+            # IVF recomputed independently: stride-31 centroids, argmax
+            # cosine assignment, top-4 probes, exact rerank
+            "ann_ivf_topk": f"""
+                WITH cent AS (
+                    SELECT CAST(vec_id // 31 AS INT) AS list_id, embedding AS ce
+                    FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < {16 * 31}
+                ),
+                ascore AS (
+                    SELECT e.vec_id, e.embedding, c.list_id,
+                        {fold_dot('e.embedding', 'c.ce')} / (sqrt({fold_dot('e.embedding', 'e.embedding')}) * sqrt({fold_dot('c.ce', 'c.ce')})) AS ccos
+                    FROM embeddings e CROSS JOIN cent c
+                ),
+                assign AS (
+                    SELECT vec_id, embedding, list_id FROM ascore
+                    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) = 1
+                ),
+                probes AS (
+                    SELECT a.vec_id AS query_id, a.embedding AS qe, s.list_id
+                    FROM assign a JOIN ascore s USING (vec_id)
+                    WHERE a.vec_id < 10
+                    QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY s.ccos DESC, s.list_id) <= 4
+                ),
+                cands AS (
+                    SELECT DISTINCT p.query_id, p.qe, x.vec_id AS neighbor_id, x.embedding AS ce
+                    FROM probes p JOIN assign x USING (list_id)
+                    WHERE x.vec_id != p.query_id
+                ),
+                scored AS (
+                    SELECT query_id, neighbor_id,
+                        {fold_dot('qe', 'ce')} / (sqrt({fold_dot('qe', 'qe')}) * sqrt({fold_dot('ce', 'ce')})) AS cos
+                    FROM cands
+                )
+                SELECT CAST(query_id AS BIGINT) AS query_id,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+                       neighbor_id
+                FROM scored QUALIFY rank <= 10
+            """,
+            # LSH-band blocked near-dup pairs (label blocking retired:
+            # unbounded hot blocks) — banding recomputed from literals
             "emb_dup_pairs": f"""
-                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-                FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-                WHERE {fold_dot('a.embedding', 'b.embedding')}
-                      / (sqrt({fold_dot('a.embedding', 'a.embedding')}) * sqrt({fold_dot('b.embedding', 'b.embedding')})) >= 0.3
+                WITH {_lsh_cte(fold_dot)},
+                cands AS (
+                    SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS ea,
+                                    b.vec_id AS vec_b, b.embedding AS eb
+                    FROM bands a JOIN bands b USING (bnd, band_sig)
+                    WHERE a.vec_id < b.vec_id
+                )
+                SELECT vec_a, vec_b FROM cands
+                WHERE {fold_dot('ea', 'eb')}
+                      / (sqrt({fold_dot('ea', 'ea')}) * sqrt({fold_dot('eb', 'eb')})) >= 0.3
             """,
             "osc_merge": f"""
                 WITH base AS (SELECT id, fixed_lat, fixed_lon, tags_str FROM read_parquet('{G}/nodes.parquet'))

@@ -15,10 +15,23 @@ operator (scale-first):
 * simhash       — 60-bit sign-vote fingerprint in Column expressions;
                   near-dups = equal 15-hex-digit prefix bands (cheap
                   grouping analog of hamming-distance buckets).
-* ngram_jaccard — exact Jaccard via distinct-shingle self-join:
-                  |A∩B| from a join on shingle, sizes from a groupBy;
-                  expressible in pure SQL (the DuckDB oracle re-derives
-                  it independently).
+* ngram_jaccard — EXACT threshold-Jaccard with prefix filtering
+                  (PPJoin-style): shingles are globally ordered by
+                  ascending document frequency; a pair with J ≥ t must
+                  share its globally-smallest common shingle inside
+                  BOTH docs' prefixes of length |d| − ⌈t·|d|⌉ + 1, so
+                  the self-join runs only over prefixes — hot
+                  stop-phrase shingles sort last and never enter a
+                  prefix, killing the 10⁶-doc-shingle quadratic
+                  blow-up while provably returning the identical
+                  result set (the DuckDB oracle re-derives the naive
+                  join independently and must hash-match).
+
+Pair verification (minhash + ngram) joins candidate pairs to each
+doc's SORTED SHINGLE-SET ARRAY (two uniform doc_id hash joins) and
+computes |A∩B| with ``array_intersect`` in codegen — join cardinality
+equals the candidate count, never candidates × postings, so one hot
+shingle can no longer multiply the verify stage.
 
 All integer arithmetic is md5-prefix based (functions.hashing) so
 DuckDB/numpy oracles agree bit-for-bit.
@@ -138,38 +151,53 @@ def minhash_candidate_pairs(
     )
 
 
+def _shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh_set): each doc's sorted distinct-shingle array."""
+    return documents.select(
+        "doc_id", F.sort_array(shingles_col(F.col("text"), n)).alias("sh_set")
+    )
+
+
+def _verify_pairs(
+    cands: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verify of candidate pairs against shingle-set
+    arrays: two uniform doc_id hash joins + ``array_intersect`` in
+    codegen. Per-pair cost is O(|A|+|B|); the join cardinality is the
+    candidate count — a hot shingle cannot multiply it (the old
+    candidates × exploded-postings join could).
+    """
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("inter"),
+            F.size("set_a").cast("long").alias("size_a"),
+            F.size("set_b").cast("long").alias("size_b"),
+        )
+        .where(
+            F.col("inter")
+            >= F.lit(threshold) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+    )
+
+
 def minhash_dup_pairs(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Candidates verified by EXACT shingle Jaccard ≥ threshold.
 
-    Verification joins each candidate pair back to its distinct-shingle
-    sets and computes |A∩B| / |A∪B| exactly — LSH only prunes, it never
-    decides. Output: (doc_a, doc_b, inter, size_a, size_b), ints only.
+    LSH only prunes, it never decides: every banded candidate pair is
+    re-checked against the true shingle sets (``_verify_pairs``).
+    Output: (doc_a, doc_b, inter, size_a, size_b), ints only.
     """
     cands = minhash_candidate_pairs(documents).localCheckpoint(eager=False)
-    sh = documents.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
-    ).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
-        .where(
-            F.col("inter")
-            >= F.lit(threshold) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
-        )
-    )
-    return out.select("doc_a", "doc_b", "inter", "size_a", "size_b")
+    return _verify_pairs(cands, _shingle_sets(documents), threshold)
 
 
 def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
@@ -180,20 +208,31 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     """
     toks = F.split(F.trim(F.col("text")), r"\s+")
     hashes = F.transform(toks, lambda t: md5_int_col(t, 15))
-    # shift amounts must be Python ints (F.shiftright takes a literal),
-    # so the bit loop unrolls at plan-build time — still one JVM pass.
-    def _vote_fn(j):
-        # closure, not a default arg: PySpark maps lambda arity to
-        # higher-order-function parameters
-        return lambda v, h: v + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bit_terms = []
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(j))
-        bit_terms.append(F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(0))
-    sim = bit_terms[0]
-    for term in bit_terms[1:]:
-        sim = sim + term
+    # SINGLE fold over the token hashes producing the full vote array:
+    # acc[j] += bit_j(h) ? 1 : −1 via zip_with against a literal bit-
+    # mask array (F.shiftright needs a literal shift, masks don't).
+    # The old form ran `bits` separate F.aggregate folds — O(bits·T)
+    # passes and a huge plan; this is one O(T) pass.
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # fingerprint = Σ over j of (votes[j] > 0 ? 2^j : 0) — one more fold
+    sim = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
     return documents.select("doc_id", sim.alias("simhash"))
 
 
@@ -215,33 +254,59 @@ def simhash_bucket_pairs(documents: DataFrame, prefix_hex: int = 8) -> DataFrame
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_prefix_candidates(
     documents: DataFrame, n: int = SHINGLE_N, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """Exact all-pairs Jaccard ≥ threshold via shingle equi-join.
+    """Candidate pairs under EXACT prefix filtering (PPJoin-style).
 
-    No LSH — the join on shingle only pairs docs sharing ≥1 shingle;
-    with selective shingles this is the exact-but-prunable baseline the
-    SQL oracle re-derives independently.
+    Global shingle order = ascending (document frequency, shingle).
+    Each doc keeps only its first ``|d| − ⌈t·|d|⌉ + 1`` shingles in
+    that order; the self-join runs on prefixes only.
+
+    Exactness: if J(A,B) ≥ t, let s be the globally-smallest common
+    shingle. If s were outside A's prefix, every common shingle would
+    lie in A's suffix of ⌈t·|A|⌉ − 1 elements (anything before s in
+    A's order is non-common by minimality of s), so |A∩B| ≤
+    ⌈t·|A|⌉ − 1 < t·|A| — contradicting |A∩B| ≥ t·|A∪B| ≥ t·|A|. The
+    same holds for B, so s is in BOTH prefixes and the equi-join finds
+    the pair. Hot shingles have maximal document frequency, sort last,
+    and never enter a prefix — the skew cap falls out of correctness
+    rather than fighting it.
     """
+    from pyspark.sql import Window
+
     sh = documents.select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    w_doc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
-        .where(
-            F.col("inter")
-            >= F.lit(threshold) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
-        )
-        .select("doc_a", "doc_b", "inter", "size_a", "size_b")
-    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = SHINGLE_N, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold.
+
+    Prefix-filtered candidate generation (provably lossless — see
+    ``ngram_prefix_candidates``) + exact array-intersect verify. The
+    DuckDB oracle recomputes the NAIVE full shingle self-join
+    independently; both must produce the identical pair set.
+    """
+    cands = ngram_prefix_candidates(documents, n, threshold)
+    return _verify_pairs(cands, _shingle_sets(documents, n), threshold)

@@ -13,8 +13,13 @@
   tests), deterministic given the seed.
 
 * ``embedding_dup_pairs`` — near-duplicate pairs (cosine ≥ threshold)
-  blocked by an equality key (label) to avoid the full cross join;
-  the label-blocked variant is exact within blocks.
+  blocked by the SAME random-hyperplane LSH bands as ``ann_lsh_topk``:
+  a pair is compared iff it collides in ≥1 band, then filtered by
+  exact cosine. Band buckets are bounded by the hash (uniform sign
+  bits), unlike value-blocking keys (label) whose hot blocks degrade
+  to all-pairs crosses. Deterministic given the seed, and the DuckDB
+  oracle recomputes the banding independently from literal plane
+  constants.
 
 Scale notes: brute force distributes perfectly (map-only over
 candidates, broadcast queries, top-k via partial per-partition heaps in
@@ -100,19 +105,20 @@ def lsh_signature_udf(planes: np.ndarray):
     return sig
 
 
-def ann_lsh_topk(
-    embeddings: DataFrame,
-    k: int = 10,
-    n_queries: int = 10,
-    bits: int = ANN_BITS,
-    bands: int = ANN_BANDS,
-) -> DataFrame:
-    """Approximate top-k: candidates share an LSH band, exact rerank."""
-    dim = len(embeddings.select("embedding").first()[0])
-    planes = hyperplanes(dim, bits)
+def _dim_of(embeddings: DataFrame, dim: int | None) -> int:
+    """Embedding dimensionality without a per-call driver action when
+    the caller knows it (the old unconditional `.first()` was a needless
+    Spark job on every invocation)."""
+    if dim is not None:
+        return dim
+    return len(embeddings.select("embedding").first()[0])
+
+
+def _banded(embeddings: DataFrame, bits: int, bands: int, dim: int | None) -> DataFrame:
+    """(vec_id, embedding, band, band_sig) — shared LSH banding stage."""
+    planes = hyperplanes(_dim_of(embeddings, dim), bits)
     sig = lsh_signature_udf(planes)
     rows = bits // bands
-
     signed = embeddings.select(
         "vec_id", "embedding", sig(F.col("embedding")).alias("sig")
     )
@@ -122,9 +128,21 @@ def ann_lsh_topk(
             for bnd in range(bands)
         ]
     )
-    banded = signed.select(
+    return signed.select(
         "vec_id", "embedding", F.posexplode(band_arr).alias("band", "band_sig")
     )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    bits: int = ANN_BITS,
+    bands: int = ANN_BANDS,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH band, exact rerank."""
+    banded = _banded(embeddings, bits, bands, dim)
     q = banded.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -250,18 +268,31 @@ def ivf_topk(
 
 
 def embedding_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = ANN_BITS,
+    bands: int = ANN_BANDS,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(vec_a, vec_b) with cosine ≥ threshold, blocked by ``block_col``."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), block_col
+    """(vec_a, vec_b): pairs colliding in ≥1 LSH band with exact
+    cosine ≥ threshold.
+
+    The blocker is the same banded sign-bit join as ``ann_lsh_topk``
+    (uniform hash keys → bounded buckets at any scale). The earlier
+    label-equality blocking had unbounded block sizes: one hot label
+    degenerated to an all-pairs cross within the block.
+    """
+    banded = _banded(embeddings, bits, bands, dim)
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "band_sig"
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), block_col
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "band_sig"
     )
     return (
-        a.join(b, [block_col])
+        a.join(b, ["band", "band_sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
         .where(cosine_fold_col(F.col("ea"), F.col("eb")) >= threshold)
         .select("vec_a", "vec_b")
     )
