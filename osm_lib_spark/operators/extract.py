@@ -243,13 +243,22 @@ def bbox_extract(
     hit_ways = ways_in_bbox(way_tiles, bbox)
 
     # J2: fetch way rows. left_semi keeps the probe side lean.
-    extract_ways = ways.join(hit_ways, ways.id == hit_ways.way_id, "left_semi")
+    # Lazy checkpoint: the way subtree feeds THREE consumers (ref
+    # explode, rel-by-way semi, the output union) and the node subtree
+    # TWO (rel-by-node semi, output) — Spark plans union branches as
+    # separate subtrees, so without the barriers the tile scan + semi
+    # joins re-execute per branch (measured ~2× single-extract latency).
+    extract_ways = ways.join(
+        hit_ways, ways.id == hit_ways.way_id, "left_semi"
+    ).localCheckpoint(eager=False)
 
     # J1 + J6: resolve refs → nodes, dedup before the join so both sides
     # are key-unique (orphan refs drop out via the inner join, the
     # logged-and-skipped semantics of TileOSMSource.java:80-82).
     ref_ids = extract_ways.select(F.explode("node_ids").alias("ref_id")).distinct()
-    extract_nodes = nodes.join(ref_ids, nodes.id == ref_ids.ref_id, "left_semi")
+    extract_nodes = nodes.join(
+        ref_ids, nodes.id == ref_ids.ref_id, "left_semi"
+    ).localCheckpoint(eager=False)
 
     # J3/J4: relations referencing extracted nodes (by nodeId — intended
     # semantics) or extracted ways.
