@@ -282,6 +282,34 @@ def q_pbf_bangor_counts(spark, sf_dir):
     )
 
 
+def q_vex_roundtrip_counts(spark, sf_dir):
+    """S2/K2 byte-level VEX codec: decode the reference PBF fixture,
+    write it back as VEX (the reference's own format), re-read, and
+    count per type. Any encode/decode defect (delta state, string
+    framing, block splits) changes the counts or crashes; the oracle is
+    the reference's independent golden counts (OSMTest.java:14-17,
+    RoundTripTest.java PBF↔VEX contract)."""
+    import tempfile
+
+    from osm_lib_spark.sources.pbf import (
+        pbf_nodes,
+        pbf_relations,
+        pbf_ways,
+        read_pbf,
+    )
+    from osm_lib_spark.sources.vex import read_vex, write_vex
+
+    ents = read_pbf(spark, BANGOR_PBF)
+    out = os.path.join(tempfile.gettempdir(), "gate_bangor_roundtrip.vex")
+    write_vex(out, pbf_nodes(ents), pbf_ways(ents), pbf_relations(ents))
+    return (
+        read_vex(spark, out)
+        .groupBy("entity_type")
+        .agg(F.count("*").alias("n"))
+        .select("entity_type", F.col("n").cast("long").alias("n"))
+    )
+
+
 def q_pip(spark, sf_dir):
     import numpy as np
 
@@ -597,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_knn": q_knn,
         "osm_knn_kring": q_knn_kring,
         "pbf_bangor_counts": q_pbf_bangor_counts,
+        "vex_roundtrip_counts": q_vex_roundtrip_counts,
         "osm_pip": q_pip,
     }
     for b in ("dense", "wide", "world", "equator"):
@@ -810,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
             ('relation', CAST(34 AS BIGINT))
         ) AS t(entity_type, n)
     """
+    out["vex_roundtrip_counts"] = out["pbf_bangor_counts"]
 
     # ---- training-data pipeline oracles ----
     from osm_lib_spark.operators.dedup import (
