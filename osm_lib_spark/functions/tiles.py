@@ -131,9 +131,50 @@ def hilbert_key_udf(xtile: pd.Series, ytile: pd.Series) -> pd.Series:
     return pd.Series(np_hilbert_d(xtile.to_numpy(), ytile.to_numpy()))
 
 
+def hilbert_key_col(xtile: Column, ytile: Column, order: int = ZOOM) -> Column:
+    """Hilbert xy→d as a PURE JVM-side Column expression (no Python).
+
+    The classic iterative rotation algorithm expressed as ONE
+    ``F.aggregate`` fold over the bit levels with a (x, y, d) struct
+    accumulator. (Unrolling the loop into plan-level expressions is a
+    trap: x and y each reference their previous values twice per
+    iteration, so the expression tree grows ~2^order.) The fold keeps
+    the plan O(1) and iterates at runtime inside ArrayAggregate.
+    Matches ``np_hilbert_d`` bit-for-bit (pytest-pinned).
+    """
+    levels = F.sequence(F.lit(order - 1), F.lit(0), F.lit(-1))
+    acc0 = F.struct(
+        xtile.cast("long").alias("x"),
+        ytile.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc: Column, k: Column) -> Column:
+        s = F.pow(F.lit(2.0), k).cast("long")  # exact for k ≤ 30
+        x, y, d = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        d2 = d + s * s * (rx * 3).bitwiseXOR(ry)
+        # rotate quadrant: when ry == 0 → (flip if rx == 1) then swap
+        flip = (ry == 0) & (rx == 1)
+        xf = F.when(flip, s - 1 - x).otherwise(x)
+        yf = F.when(flip, s - 1 - y).otherwise(y)
+        return F.struct(
+            F.when(ry == 0, yf).otherwise(xf).alias("x"),
+            F.when(ry == 0, xf).otherwise(yf).alias("y"),
+            d2.alias("d"),
+        )
+
+    return F.aggregate(levels, acc0, step).getField("d")
+
+
 def hilbert_key(xtile: Column, ytile: Column) -> Column:
-    """Hilbert d-value of a z12 tile as a long Column."""
-    return hilbert_key_udf(xtile, ytile)
+    """Hilbert d-value of a z12 tile as a long Column (codegen)."""
+    return hilbert_key_col(xtile, ytile)
 
 
 def bbox_tile_range(

@@ -105,3 +105,23 @@ def test_extract_type_major_order(entities, meta_xs):
     types = [r.entity_type for r in ext.ids().collect()]
     rank = {"node": 0, "way": 1, "relation": 2}
     assert types == sorted(types, key=lambda t: rank[t])
+
+
+def test_hilbert_codegen_vs_numpy(spark):
+    """hilbert_key_col (pure Column bit ops) must match np_hilbert_d
+    bit-for-bit over random tiles + the grid corners."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_lib_spark.functions.tiles import NTILES, hilbert_key_col, np_hilbert_d
+
+    rng = np.random.default_rng(11)
+    xs = np.concatenate([rng.integers(0, NTILES, 500), [0, 0, NTILES - 1, NTILES - 1]])
+    ys = np.concatenate([rng.integers(0, NTILES, 500), [0, NTILES - 1, 0, NTILES - 1]])
+    expected = np_hilbert_d(xs, ys)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x int, y int"
+    ).select("x", "y", hilbert_key_col(F.col("x"), F.col("y")).alias("d"))
+    got = {(r.x, r.y): r.d for r in df.collect()}
+    for x, y, e in zip(xs, ys, expected):
+        assert got[(int(x), int(y))] == int(e)
