@@ -255,15 +255,35 @@ def cpu_calibration() -> dict:
     return out
 
 
-def scaling_batch_run(master_cpus: int, sf_dir: str, boxes_mult: int = 4) -> dict:
-    """Dedicated scaling measurement: parse+cache once, then median-of-3
-    fresh-DAG runs of a boxes_mult-times-larger extract batch (enough
-    work per run that the measurement is not job-overhead bound)."""
+def scaling_fixture() -> str:
+    """Fixture for the scaling measurement: sf-l (4× the bench scale,
+    10M nodes — minutes-long runs at low parallelism so host-steal
+    noise stops dominating) unless SPARK_GRAFT_SCALE_FIXTURE points
+    elsewhere. Generated on demand (deterministic, light mode)."""
+    override = os.environ.get("SPARK_GRAFT_SCALE_FIXTURE")
+    if override:
+        return override
+    from osm_lib_spark.sources.generator import fixture_dir, write_fixture
+
+    d = fixture_dir("l")
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        write_fixture("l", d, light=True)
+    return d
+
+
+def scaling_batch_run(
+    master_cpus: int, fixture: str, boxes_mult: int = 4, n_reps: int = 5
+) -> dict:
+    """Dedicated scaling measurement: parse+cache once, then median of
+    ``n_reps`` fresh-DAG runs of a boxes_mult-times-larger extract batch
+    (enough work per run that the measurement is not job-overhead
+    bound; the median rides out host CPU steal)."""
+    import json as _json
+
     from osm_lib_spark.operators.extract import bbox_extract_batch, prepare_extract_context
     from osm_lib_spark.operators.indexes import build_way_tiles
     from osm_lib_spark.session import get_spark, stop_spark
     from osm_lib_spark.sources.span_codec import parse_nodes, parse_relations, parse_ways
-    import __spark_entry__ as entrymod
 
     stop_spark()
     spark = get_spark(
@@ -273,8 +293,8 @@ def scaling_batch_run(master_cpus: int, sf_dir: str, boxes_mult: int = 4) -> dic
         extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
     )
     try:
-        fixture = entrymod._fixture(sf_dir)
-        meta = entrymod._meta(sf_dir)
+        with open(os.path.join(fixture, "meta.json")) as f:
+            meta = _json.load(f)
         docs = spark.read.parquet(os.path.join(fixture, "docs.parquet"))
         nodes = parse_nodes(docs).repartition(32, "id").cache()
         ways = parse_ways(docs).repartition(32, "id").cache()
@@ -295,9 +315,9 @@ def scaling_batch_run(master_cpus: int, sf_dir: str, boxes_mult: int = 4) -> dic
 
         run()  # warmup
         reps = []
-        for _ in range(3):
+        for _ in range(n_reps):
             t = time.time(); run(); reps.append(time.time() - t)
-        med = sorted(reps)[1]
+        med = sorted(reps)[len(reps) // 2]
         return {"cpus": master_cpus, "sec": med, "extracts_per_sec": len(boxes) / med,
                 "n_boxes": len(boxes), "reps": [round(r, 1) for r in reps]}
     finally:
@@ -324,7 +344,8 @@ def main() -> int:
     }
 
     if scaling:
-        runs = {n: scaling_batch_run(n, SF_DIR) for n in (2, 8, 32)}
+        fixture = scaling_fixture()
+        runs = {n: scaling_batch_run(n, fixture) for n in (2, 8, 32)}
         calib = cpu_calibration_multi((2, 8, 32))
         pairs = {}
         for lo, hi in ((2, 8), (8, 32)):
@@ -336,11 +357,12 @@ def main() -> int:
                 "efficiency_vs_host_ceiling": round(eff / host, 3),
             }
         out["scaling"] = {
+            "fixture": fixture,
             "runs": {str(n): {k: (round(v, 3) if isinstance(v, float) else v)
                                for k, v in r.items()} for n, r in runs.items()},
             "pairs": pairs,
         }
-        write_scaling_report(out, runs, calib, pairs)
+        write_scaling_report(out, runs, calib, pairs, fixture)
 
     print(json.dumps(out))
     return 0
@@ -366,17 +388,24 @@ def bench_bboxes_cached(sf_dir: str) -> list:
     return bench_bboxes(entrymod._meta(sf_dir))
 
 
-def write_scaling_report(out: dict, runs: dict, calib: dict, pairs: dict) -> None:
+def write_scaling_report(
+    out: dict, runs: dict, calib: dict, pairs: dict, fixture: str
+) -> None:
+    import json as _json
+
+    with open(os.path.join(fixture, "meta.json")) as f:
+        fm = _json.load(f)
     os.makedirs("BENCH", exist_ok=True)
+    n_boxes = next(iter(runs.values()))["n_boxes"]
     lines = [
         "# BENCH/BASELINE.md — scaling evidence (two-parallelism substitute)",
         "",
         "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to",
         "4N executors. Sandbox substitute (driver instruction): the identical",
-        "tile-extract batch (48 bboxes as ONE bbox_id-keyed DAG) on the same",
-        f"input (sf {out['sf']} → fixtures/sf-m: {out['n_nodes']} nodes /",
-        f"{out['n_ways']} ways) at three local parallelism levels, median of",
-        "3 fresh-DAG runs after warmup.",
+        f"tile-extract batch ({n_boxes} bboxes as ONE bbox_id-keyed DAG) on the",
+        f"same input ({fixture}: {fm['counts']['nodes']} nodes /",
+        f"{fm['counts']['ways']} ways) at three local parallelism levels,",
+        "median of 5 fresh-DAG runs after warmup.",
         "",
         "| parallelism | batch sec | extracts/sec | host calib (tasks/s) |",
         "|---|---|---|---|",

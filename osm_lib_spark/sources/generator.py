@@ -30,12 +30,15 @@ from osm_lib_spark.sources import oracle
 SEED = 42
 
 SCALES = {
-    # sf-xs: smoke; sf-s: correctness oracle; sf-m: bench
+    # sf-xs: smoke; sf-s: correctness oracle; sf-m: bench;
+    # sf-l: 4x bench — scaling-efficiency measurements only (generated
+    # WITHOUT golden oracles: pass light=True / the CLI does)
     "xs": dict(docs=1_000, nodes=5_000, ways=800, relations=40, clusters=4),
     "s": dict(docs=20_000, nodes=100_000, ways=15_000, relations=600, clusters=16),
     "m": dict(docs=500_000, nodes=2_500_000, ways=400_000, relations=15_000, clusters=64),
+    "l": dict(docs=2_000_000, nodes=10_000_000, ways=1_600_000, relations=60_000, clusters=128),
 }
-SCALE_OFFSET = {"xs": 0, "s": 1, "m": 2}
+SCALE_OFFSET = {"xs": 0, "s": 1, "m": 2, "l": 3}
 
 WAY_ID_BASE = 6_000_000_000
 REL_ID_BASE = 7_000_000_000
@@ -370,7 +373,11 @@ def _polygons(world: World) -> dict[int, list[list[list[float]]]]:
     return {1: [convex], 2: [concave], 3: [outer, hole]}
 
 
-def write_fixture(scale: str, out_dir: str) -> None:
+def write_fixture(scale: str, out_dir: str, light: bool = False) -> None:
+    """``light=True`` writes docs.parquet + meta.json only — for the
+    sf-l scaling fixture, which is a throughput measurement input, not
+    a correctness oracle (golden recomputation at 10M nodes is pure
+    generation cost with no consumer)."""
     world = generate_world(scale)
     os.makedirs(os.path.join(out_dir, "golden"), exist_ok=True)
 
@@ -378,6 +385,23 @@ def write_fixture(scale: str, out_dir: str) -> None:
     # small row groups: Spark parallelizes a parquet scan at row-group
     # granularity — one giant row group would serialize every scan
     pq.write_table(docs, os.path.join(out_dir, "docs.parquet"), row_group_size=10_000)
+
+    if light:
+        meta = {
+            "scale": scale,
+            "seed": SEED,
+            "bboxes": _fixed_bboxes(world),
+            "knn_points": _knn_points(world),
+            "polygons": _polygons(world),
+            "counts": {
+                "nodes": len(world.nodes),
+                "ways": len(world.ways),
+                "relations": len(world.relations),
+            },
+        }
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return
 
     g = os.path.join(out_dir, "golden")
 
@@ -478,5 +502,5 @@ if __name__ == "__main__":
     import sys
 
     for sc in sys.argv[1:] or ["xs", "s"]:
-        write_fixture(sc, fixture_dir(sc))
+        write_fixture(sc, fixture_dir(sc), light=(sc == "l"))
         print("wrote", fixture_dir(sc))
