@@ -172,6 +172,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     intersections(ways).count()
     timings["intersections"] = time.time() - t0
 
+    # -- kNN: the north-star k-ring path (batched frontier DAG) and the
+    # brute-force baseline over the same query points
+    from osm_lib_spark.operators.knn import knn_brute_force, knn_kring
+
+    knn_pts = [tuple(p) for p in meta["knn_points"]]
+    knn_kring(nodes, knn_pts, k=10).count()  # warmup
+    t0 = time.time()
+    knn_kring(nodes, knn_pts, k=10).count()
+    timings["knn_kring"] = time.time() - t0
+    t0 = time.time()
+    knn_brute_force(nodes, knn_pts, k=10).count()
+    timings["knn_brute"] = time.time() - t0
+
     # -- training-data ops on the driver tables (same single-file split
     # problem: spread rows across the cluster width)
     documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(width)
