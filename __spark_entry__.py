@@ -282,6 +282,65 @@ def q_pbf_bangor_counts(spark, sf_dir):
     )
 
 
+def q_tag_ops(spark, sf_dir):
+    """P1-P5 scalar tag functions over parsed ways, each as a column:
+    first-match lookup, existence (key and key=value), truthiness
+    votes, empty-test, allowlist retention re-rendered to the wire
+    format. The oracle re-derives every column from the golden
+    tags_str with DuckDB string/list functions."""
+    from osm_lib_spark.functions.tags import (
+        get_tag,
+        has_no_tags,
+        has_tag,
+        render_tags,
+        retain_keys,
+        tag_is_false,
+        tag_is_true,
+    )
+    from osm_lib_spark.sources.span_codec import parse_ways
+
+    ways = parse_ways(_docs(spark, sf_dir))
+    t = F.col("tags")
+    return ways.select(
+        "id",
+        get_tag(t, "highway").alias("highway"),
+        has_tag(t, "name").cast("int").cast("long").alias("has_name"),
+        has_tag(t, "highway", "residential").cast("int").cast("long").alias("is_residential"),
+        F.coalesce(tag_is_true(t, "building").cast("int"), F.lit(0)).cast("long").alias("building_true"),
+        F.coalesce(tag_is_false(t, "building").cast("int"), F.lit(0)).cast("long").alias("building_false"),
+        has_no_tags(t).cast("int").cast("long").alias("untagged"),
+        render_tags(retain_keys(t, ["highway", "name"])).alias("retained"),
+    )
+
+
+def q_affected_tiles(spark, sf_dir):
+    """ST3 deferred re-index: a deterministic changeset reverses the
+    node list of every way with id % 13 == 0; the affected-tile set is
+    the union of each changed way's OLD first-node tile and NEW
+    first-node tile (OSMChangeParser.endDocument re-index semantics).
+    The oracle recomputes both tile sets from the golden parquet with
+    SQL tile math."""
+    from osm_lib_spark.operators.indexes import build_way_tiles
+    from osm_lib_spark.sources.span_codec import parse_nodes, parse_ways
+    from osm_lib_spark.streaming.changes import affected_tiles
+
+    docs = _docs(spark, sf_dir)
+    nodes = parse_nodes(docs)
+    ways = parse_ways(docs)
+    changed = ways.where(F.col("id") % 13 == 0)
+    ways_new = ways.withColumn(
+        "node_ids",
+        F.when(F.col("id") % 13 == 0, F.reverse("node_ids")).otherwise(
+            F.col("node_ids")
+        ),
+    )
+    wt_old = build_way_tiles(ways, nodes)
+    wt_new = build_way_tiles(ways_new, nodes)
+    return affected_tiles(
+        wt_old, wt_new, changed.select(F.col("id").alias("way_id"))
+    )
+
+
 def q_vex_roundtrip_counts(spark, sf_dir):
     """S2/K2 byte-level VEX codec: decode the reference PBF fixture,
     write it back as VEX (the reference's own format), re-read, and
@@ -626,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_knn_kring": q_knn_kring,
         "pbf_bangor_counts": q_pbf_bangor_counts,
         "vex_roundtrip_counts": q_vex_roundtrip_counts,
+        "osm_tag_ops": q_tag_ops,
+        "osm_affected_tiles": q_affected_tiles,
         "osm_pip": q_pip,
     }
     for b in ("dense", "wide", "world", "equator"):
@@ -840,6 +901,58 @@ def oracle_sql() -> dict[str, str]:
         ) AS t(entity_type, n)
     """
     out["vex_roundtrip_counts"] = out["pbf_bangor_counts"]
+
+    # ST3 affected tiles: old tile from the golden way_tiles index; new
+    # tile = tile of the reversed way's new first node (= old LAST
+    # node), recomputed with SQL slippy-map math; inner join to nodes
+    # mirrors the first-node-must-exist indexing rule (OSM.java:316-319)
+    out["osm_affected_tiles"] = f"""
+        WITH changed AS (
+            SELECT id AS way_id, node_ids[-1] AS new_first
+            FROM read_parquet('{G}/ways.parquet') WHERE id % 13 = 0
+        ),
+        old_t AS (
+            SELECT xtile, ytile FROM read_parquet('{G}/way_tiles.parquet')
+            WHERE way_id IN (SELECT way_id FROM changed)
+        ),
+        new_t AS (
+            SELECT CAST(floor((n.fixed_lon/1e7 + 180.0)/360.0 * 4096.0) AS INT) AS xtile,
+                   CAST(floor((1.0 - ln(tan(radians(n.fixed_lat/1e7)) + 1.0/cos(radians(n.fixed_lat/1e7)))/pi())/2.0 * 4096.0) AS INT) AS ytile
+            FROM changed c JOIN read_parquet('{G}/nodes.parquet') n ON n.id = c.new_first
+        )
+        SELECT DISTINCT xtile, ytile FROM (
+            SELECT * FROM old_t UNION ALL SELECT * FROM new_t
+        )
+    """
+
+    # P1-P5 tag functions re-derived from the golden tags_str strings
+    out["osm_tag_ops"] = f"""
+        WITH segs AS (
+            SELECT id, tags_str,
+                   list_filter(string_split(tags_str, ';'), s -> s <> '') AS ts
+            FROM read_parquet('{G}/ways.parquet')
+        ),
+        cols AS (
+            SELECT id,
+                list_transform(list_filter(ts, s -> s LIKE 'highway=%'),
+                               s -> regexp_replace(s, '^[^=]*=', ''))[1] AS highway,
+                CAST(len(list_filter(ts, s -> s LIKE 'name=%')) > 0 AS INT) AS has_name,
+                CAST(len(list_filter(ts, s -> s = 'highway=residential')) > 0 AS INT) AS is_residential,
+                lower(list_transform(list_filter(ts, s -> s LIKE 'building=%'),
+                               s -> regexp_replace(s, '^[^=]*=', ''))[1]) AS bval,
+                CAST(len(ts) = 0 AS INT) AS untagged,
+                list_filter(ts, s -> s LIKE 'highway=%' OR s LIKE 'name=%') AS kept
+            FROM segs
+        )
+        SELECT id, highway,
+               CAST(has_name AS BIGINT) AS has_name,
+               CAST(is_residential AS BIGINT) AS is_residential,
+               CAST(COALESCE(bval IN ('yes', 'true', '1'), false) AS BIGINT) AS building_true,
+               CAST(COALESCE(bval IN ('no', 'false', '0'), false) AS BIGINT) AS building_false,
+               CAST(untagged AS BIGINT) AS untagged,
+               CASE WHEN len(kept) = 0 THEN '' ELSE array_to_string(kept, ';') || ';' END AS retained
+        FROM cols
+    """
 
     # ---- training-data pipeline oracles ----
     from osm_lib_spark.operators.dedup import (
