@@ -99,3 +99,51 @@ def test_rasterize_matches_way_tiles_math(spark, docs_xs, fixture_xs):
     # ring is closed: first point == last point
     pts = row.wkt[len("POLYGON (("):-2].split(", ")
     assert len(pts) == 5 and pts[0] == pts[-1]
+
+
+def test_new_operator_joins_are_hash_joins(spark, docs_xs):
+    """Round-2 operators must never plan nested-loop/cartesian joins:
+    the k-ring strip join, the LSH-banded embedding dedup, and the
+    prefix-filtered Jaccard candidates are all equi-joins."""
+    import re
+
+    from osm_lib_spark.functions.tiles import NTILES, tile_y_col
+    from osm_lib_spark.operators.dedup import ngram_prefix_candidates
+    from osm_lib_spark.operators.knn import _frontier_strips, _nodes_with_coords
+    from osm_lib_spark.operators.similarity import embedding_dup_pairs
+
+    bad = re.compile(r"BroadcastNestedLoopJoin|CartesianProduct")
+
+    nodes = parse_nodes(docs_xs)
+    coords = (
+        _nodes_with_coords(nodes)
+        .withColumn(
+            "xtile",
+            F.pmod(
+                F.floor((F.col("lon") + 180.0) / 360.0 * NTILES).cast("int"),
+                F.lit(NTILES),
+            ),
+        )
+        .withColumn("ytile", tile_y_col(F.col("lat")))
+    )
+    strips = _frontier_strips(
+        spark, [dict(query_id=0, qlat=10.0, qlon=10.0, qx=2000, qy=2000, radius=4)]
+    )
+    cand = coords.join(F.broadcast(strips), "xtile").where(
+        F.col("ytile").between(F.col("ymin"), F.col("ymax"))
+    )
+    plan = _explain_str(cand)
+    assert "BroadcastHashJoin" in plan and not bad.search(plan)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, -0.5], i % 3) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = _explain_str(embedding_dup_pairs(emb, threshold=0.3, dim=3))
+    assert not bad.search(plan)
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(30)], "doc_id long, text string"
+    )
+    plan = _explain_str(ngram_prefix_candidates(docs))
+    assert not bad.search(plan)
