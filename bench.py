@@ -250,24 +250,6 @@ def _burn(n):
     return s
 
 
-def cpu_calibration() -> dict:
-    """Host parallel-capacity ceiling: pure-python multiprocessing
-    throughput at the same two parallelism levels. Spark cannot scale
-    better than the box itself (vCPUs may be SMT/oversubscribed);
-    reporting the ceiling lets the judge separate engine scaling from
-    hardware scaling."""
-    import multiprocessing as mp
-
-    out = {}
-    for procs in (8, 32):
-        t = time.time()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [3_000_000] * 64)
-        out[procs] = 64 / (time.time() - t)
-    out["efficiency"] = (out[32] / out[8]) / 4
-    return out
-
-
 def scaling_fixture() -> str:
     """Fixture for the scaling measurement: sf-l (4× the bench scale,
     10M nodes — minutes-long runs at low parallelism so host-steal
@@ -393,12 +375,6 @@ def cpu_calibration_multi(levels=(2, 8, 32)) -> dict:
             p.map(_burn, [3_000_000] * 64)
         out[procs] = 64 / (time.time() - t)
     return out
-
-
-def bench_bboxes_cached(sf_dir: str) -> list:
-    import __spark_entry__ as entrymod
-
-    return bench_bboxes(entrymod._meta(sf_dir))
 
 
 def write_scaling_report(
