@@ -176,11 +176,21 @@ def run_suite(spark, sf_dir: str) -> dict:
     # brute-force baseline over the same query points
     from osm_lib_spark.operators.knn import knn_brute_force, knn_kring
 
+    from osm_lib_spark.operators.knn import tiled_node_store
+
     knn_pts = [tuple(p) for p in meta["knn_points"]]
-    knn_kring(nodes, knn_pts, k=10).count()  # warmup
+    knn_kring(nodes, knn_pts, k=10).count()  # warmup (cold: tiles per call)
     t0 = time.time()
     knn_kring(nodes, knn_pts, k=10).count()
     timings["knn_kring"] = time.time() - t0
+    # steady-state serving path: probe a persisted tile-keyed store
+    store = tiled_node_store(nodes).cache()
+    store.count()
+    knn_kring(nodes, knn_pts, k=10, tiled=store).count()  # warmup
+    t0 = time.time()
+    knn_kring(nodes, knn_pts, k=10, tiled=store).count()
+    timings["knn_kring_store"] = time.time() - t0
+    store.unpersist()
     t0 = time.time()
     knn_brute_force(nodes, knn_pts, k=10).count()
     timings["knn_brute"] = time.time() - t0

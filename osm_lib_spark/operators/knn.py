@@ -166,12 +166,38 @@ def _frontier_strips(spark, frontier: list[dict]) -> DataFrame:
     )
 
 
+def tiled_node_store(nodes: DataFrame) -> DataFrame:
+    """(node_id, lat, lon, xtile, ytile): the tile-keyed node table the
+    k-ring search probes. Build once per dataset (at 100 TB this is the
+    Hilbert-partitioned store from operators/indexes, not an ad-hoc
+    projection) and pass to ``knn_kring`` via ``tiled=`` so repeated
+    query batches skip the re-tiling scan. Polar outliers clamp onto
+    the edge rows so ring expansion reaches them."""
+    from osm_lib_spark.functions.tiles import tile_y_col
+
+    return (
+        _nodes_with_coords(nodes)
+        .withColumn(
+            "xtile",
+            F.pmod(
+                F.floor((F.col("lon") + 180.0) / 360.0 * NTILES).cast("int"),
+                F.lit(NTILES),
+            ),
+        )
+        .withColumn(
+            "ytile",
+            F.least(F.greatest(tile_y_col(F.col("lat")), F.lit(0)), F.lit(NTILES - 1)),
+        )
+    )
+
+
 def knn_kring(
     nodes: DataFrame,
     query_points: list[tuple[int, float, float]],
     k: int = 10,
     initial_ring: int = 1,
     max_ring: int = NTILES,
+    tiled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact kNN via batched iterative k-ring expansion.
 
@@ -180,24 +206,13 @@ def knn_kring(
     strip table; satisfied queries leave the frontier. Results match
     ``knn_brute_force`` exactly (asserted in tests and oracle-gated as
     ``osm_knn_kring`` against an independent SQL brute force).
+
+    ``tiled`` (from ``tiled_node_store``, ideally persisted): skip the
+    per-call tiling scan — the steady-state serving path.
     """
     spark = nodes.sparkSession
-    coords = (
-        _nodes_with_coords(nodes)
-        .withColumn(
-            "xtile",
-            F.pmod(
-                F.floor((F.col("lon") + 180.0) / 360.0 * NTILES).cast("int"), F.lit(NTILES)
-            ),
-        )
-    )
-    from osm_lib_spark.functions.tiles import tile_y_col
-
-    # clamp polar outliers onto the edge rows so ring expansion reaches them
-    coords = coords.withColumn(
-        "ytile",
-        F.least(F.greatest(tile_y_col(F.col("lat")), F.lit(0)), F.lit(NTILES - 1)),
-    ).cache()
+    own_cache = tiled is None
+    coords = tiled_node_store(nodes).cache() if own_cache else tiled
 
     frontier = [
         dict(
@@ -214,8 +229,22 @@ def knn_kring(
 
     while frontier:
         strips = _frontier_strips(spark, frontier)
+        # coarse prefilter: the frontier's global tile bounding box as
+        # PLAIN column predicates — these push down to parquet row-group
+        # stats / in-memory batch pruning, which the join condition
+        # cannot; skipped when any ring wraps the antimeridian
+        probe = coords
+        if all(2 * f["radius"] + 1 < NTILES and f["qx"] - f["radius"] >= 0
+               and f["qx"] + f["radius"] < NTILES for f in frontier):
+            gx0 = min(f["qx"] - f["radius"] for f in frontier)
+            gx1 = max(f["qx"] + f["radius"] for f in frontier)
+            gy0 = min(max(f["qy"] - f["radius"], 0) for f in frontier)
+            gy1 = max(min(f["qy"] + f["radius"], NTILES - 1) for f in frontier)
+            probe = coords.where(
+                F.col("xtile").between(gx0, gx1) & F.col("ytile").between(gy0, gy1)
+            )
         cand = (
-            coords.join(F.broadcast(strips), "xtile")
+            probe.join(F.broadcast(strips), "xtile")
             .where(F.col("ytile").between(F.col("ymin"), F.col("ymax")))
             .select(
                 "query_id",
@@ -267,7 +296,8 @@ def knn_kring(
             )
         frontier = next_frontier
 
-    coords.unpersist()
+    if own_cache:
+        coords.unpersist()
     if not parts:
         return spark.createDataFrame([], "query_id int, rank int, node_id long")
     out = parts[0]
