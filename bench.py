@@ -195,6 +195,24 @@ def run_suite(spark, sf_dir: str) -> dict:
     knn_brute_force(nodes, knn_pts, k=10).count()
     timings["knn_brute"] = time.time() - t0
 
+    # -- PBF byte codec roundtrip at full fixture scale (K1/S1): encode
+    # all entities to a real .pbf, decode it back; entities/sec
+    from osm_lib_spark.sources.pbf import read_pbf, write_pbf
+
+    pbf_path = os.path.join(tempfile.gettempdir(), "bench_entities.pbf")
+    write_pbf(pbf_path, nodes, ways, relations)  # warmup
+    t0 = time.time()
+    write_pbf(pbf_path, nodes, ways, relations)
+    enc_dt = time.time() - t0
+    read_pbf(spark, pbf_path).count()  # warmup
+    t0 = time.time()
+    total_entities = read_pbf(spark, pbf_path).count()
+    dec_dt = time.time() - t0
+    timings["pbf_encode"] = enc_dt
+    timings["pbf_decode"] = dec_dt
+    extras["pbf_decode_entities_per_sec"] = total_entities / dec_dt
+    extras["pbf_encode_entities_per_sec"] = total_entities / enc_dt
+
     # -- training-data ops on the driver tables (same single-file split
     # problem: spread rows across the cluster width)
     documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(width)

@@ -30,18 +30,28 @@ Spark-first dataflow:
 
 * READ: the blob directory scan (`scan_blobs`) reads only the ~32-byte
   headers (seek + skip), yielding a (path, offset, size, seq) blob
-  table. Blobs are the parallelism unit — `mapInPandas` tasks seek
-  into the file and decode their own blobs, so a planet file fans out
-  across executors without ever landing whole on the driver. Varint
-  decode of the hot packed arrays (ids, lats, lons, refs, memids,
-  keys_vals) is numpy-vectorized (no per-value Python).
-* WRITE: entities are range-partitioned type-major by id,
-  `mapInPandas` encodes independent ≤8k-entity blocks (PBF blocks
-  share no state — delta coding and string tables reset per block), and
-  the driver streams the encoded blobs to the file in (type, first_id)
-  order. At object-store scale the same blob rows would be PUT as
-  parts and composed; the sequential tail is only the final
-  concatenation, not the encode.
+  table. Blobs are the parallelism unit — `mapInArrow` tasks seek into
+  the file and decode their own blobs, so a planet file fans out
+  across executors without ever landing whole on the driver. All hot
+  decode paths are block-wide numpy passes: packed varints decode once
+  per COLUMN per block (`_batch_packed` concatenates every way's/
+  relation's field payloads before one vectorized decode — per-entity
+  numpy calls cost more in dispatch than decoding), dense-node tags
+  assemble via zero-terminator arithmetic, and entity columns are
+  built as Arrow arrays directly (never pandas object dicts).
+* WRITE: entities are range-partitioned type-major by id; executors
+  encode independent ≤8k-entity blocks (PBF blocks share no state —
+  delta coding and string tables reset per block). Node and way blocks
+  encode in block-wide numpy passes (`mapInArrow`): string-table codes
+  via one sorted-unique, keys_vals assembled by vectorized scatter,
+  refs as segmented-delta varints sliced per way by byte-span cumsums.
+  The driver streams the encoded blobs to the file in (type, first_id)
+  order; at object-store scale the blob rows would be PUT as parts and
+  composed — the sequential tail is only the final concatenation.
+
+Measured at sf0.1 (2.9M entities, local[32]): decode ~1.5M entities/s,
+encode ~0.45M entities/s — same order as the reference's single-node
+osmosis stream, with the difference that this codec fans out per blob.
 """
 
 from __future__ import annotations
@@ -107,15 +117,13 @@ def np_zigzag(v: np.ndarray) -> np.ndarray:
     return ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
 
 
-def np_encode_varints(vals: np.ndarray) -> np.ndarray:
-    """uint64 values → packed varint bytes, vectorized.
-
-    Computes per-value byte lengths, then scatters the i-th byte of
-    every value in ≤10 vectorized passes.
-    """
+def np_encode_varints_with_lens(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 values → (packed varint bytes, per-value byte length),
+    vectorized: per-value lengths first, then the i-th byte of every
+    value scatters in ≤10 passes."""
     v = np.asarray(vals, dtype=np.uint64)
     if len(v) == 0:
-        return np.zeros(0, dtype=np.uint8)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     lens = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while (tmp != 0).any():
@@ -128,7 +136,12 @@ def np_encode_varints(vals: np.ndarray) -> np.ndarray:
         byte = ((v[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
         more = (lens[sel] - 1 > i).astype(np.uint8) << 7
         out[offs[sel] + i] = byte | more
-    return out
+    return out, lens
+
+
+def np_encode_varints(vals: np.ndarray) -> np.ndarray:
+    """uint64 values → packed varint bytes, vectorized."""
+    return np_encode_varints_with_lens(vals)[0]
 
 
 def _fields(data: bytes) -> Iterator[tuple[int, int, object]]:
@@ -427,16 +440,323 @@ def decode_primitive_block(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PrimitiveBlock decode → Arrow RecordBatches (the fast distributed path)
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa
+
+_PA_TAGS = pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())]))
+_PA_REFS = pa.list_(pa.int64())
+_PA_MEMBERS = pa.list_(
+    pa.struct([("type", pa.string()), ("member_id", pa.int64()), ("role", pa.string())])
+)
+_PA_SCHEMA = pa.schema(
+    [
+        ("entity_type", pa.string()),
+        ("id", pa.int64()),
+        ("fixed_lat", pa.int32()),
+        ("fixed_lon", pa.int32()),
+        ("tags", _PA_TAGS),
+        ("node_ids", _PA_REFS),
+        ("members", _PA_MEMBERS),
+    ]
+)
+
+
+def _batch_packed(slices: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY complete packed-varint payloads in one numpy pass.
+
+    Per-entity ``np_decode_varints`` calls cost more in numpy dispatch
+    than in decoding (~10 µs × 400k ways dominated the profile); since
+    varints never straddle payload boundaries, decoding the
+    concatenation equals concatenating the decodes. Returns
+    (values uint64, value-count per slice).
+    """
+    if not slices:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    buf = np.frombuffer(b"".join(slices), dtype=np.uint8)
+    lens = np.fromiter((len(s) for s in slices), np.int64, count=len(slices))
+    if len(buf) == 0:
+        return np.zeros(0, np.uint64), np.zeros(len(slices), np.int64)
+    vals = np_decode_varints(buf)
+    ends = np.cumsum(lens)
+    cum_vals = np.cumsum((buf & 0x80) == 0)
+    tot_at_end = np.where(ends > 0, cum_vals[np.maximum(ends - 1, 0)], 0)
+    counts = np.diff(np.concatenate(([0], tot_at_end)))
+    return vals, counts
+
+
+def _segmented_delta_cumsum(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment cumsum of zigzag deltas (each segment's chain starts
+    at 0): global cumsum minus each segment's exclusive base."""
+    deltas = np_unzigzag(vals)
+    g = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    base = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+    return g - np.repeat(base, counts)
+
+
+def _tags_list_array(offsets: np.ndarray, keys, vals) -> pa.ListArray:
+    struct = pa.StructArray.from_arrays(
+        [pa.array(keys, pa.string()), pa.array(vals, pa.string())],
+        names=["key", "value"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+
+def _kv_tags_array(kv: np.ndarray, n_nodes: int, stab: np.ndarray) -> pa.ListArray:
+    """Dense-node keys_vals → list<struct<key,value>> with NO per-node
+    Python: zero positions are node terminators; runs have even length,
+    so dropping zeros leaves a globally alternating key/value stream.
+
+    Well-formed encoders (osmosis, the reference's StringTable, ours)
+    reserve code 0 as the terminator and never assign it to a string —
+    so every 0 is a delimiter. A rogue file could still use code 0 as a
+    tag VALUE (the reference's reader only treats 0 at key positions as
+    terminators); when the zero count disagrees with the node count we
+    fall back to that exact scalar state machine."""
+    if len(kv) == 0:
+        return _tags_list_array(
+            np.zeros(n_nodes + 1, np.int32), np.zeros(0, object), np.zeros(0, object)
+        )
+    zpos = np.flatnonzero(kv == 0)
+    if len(zpos) != n_nodes:
+        return _kv_tags_array_scalar(kv, n_nodes, stab)
+    counts = np.diff(np.concatenate(([-1], zpos))) - 1
+    nz = kv[kv != 0]
+    keys = stab[nz[0::2]]
+    vals = stab[nz[1::2]]
+    offsets = np.concatenate(([0], np.cumsum(counts // 2))).astype(np.int32)
+    return _tags_list_array(offsets, keys, vals)
+
+
+def _kv_tags_array_scalar(kv: np.ndarray, n_nodes: int, stab: np.ndarray) -> pa.ListArray:
+    """Slow-path keys_vals walk matching PBFInput.java:105-114 exactly:
+    only a 0 at a KEY position terminates a node's tag run."""
+    key_idx: list[int] = []
+    val_idx: list[int] = []
+    offsets = np.zeros(n_nodes + 1, np.int64)
+    pos = 0
+    for i in range(n_nodes):
+        while kv[pos] != 0:
+            key_idx.append(int(kv[pos]))
+            val_idx.append(int(kv[pos + 1]))
+            pos += 2
+        pos += 1
+        offsets[i + 1] = len(key_idx)
+    keys = stab[np.array(key_idx, np.int64)] if key_idx else np.zeros(0, object)
+    vals = stab[np.array(val_idx, np.int64)] if val_idx else np.zeros(0, object)
+    return _tags_list_array(offsets.astype(np.int32), keys, vals)
+
+
+def _entity_batch(
+    kind: str,
+    ids: np.ndarray,
+    tags: pa.ListArray,
+    fixed_lat=None,
+    fixed_lon=None,
+    node_ids: pa.ListArray | None = None,
+    members: pa.ListArray | None = None,
+) -> pa.RecordBatch:
+    n = len(ids)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([kind] * n, pa.string()),
+            pa.array(ids, pa.int64()),
+            pa.array(fixed_lat, pa.int32()) if fixed_lat is not None else pa.nulls(n, pa.int32()),
+            pa.array(fixed_lon, pa.int32()) if fixed_lon is not None else pa.nulls(n, pa.int32()),
+            tags,
+            node_ids if node_ids is not None else pa.nulls(n, _PA_REFS),
+            members if members is not None else pa.nulls(n, _PA_MEMBERS),
+        ],
+        schema=_PA_SCHEMA,
+    )
+
+
+def decode_block_arrow(data: bytes):
+    """PrimitiveBlock bytes → pa.RecordBatch per entity kind present.
+
+    Dense nodes (the planet's bulk) decode with zero per-entity Python:
+    packed varints via ``np_decode_varints``, tag assembly via
+    ``_kv_tags_array``, Arrow arrays built directly (no pandas dicts).
+    Ways/relations still walk their per-entity protobuf framing but
+    batch all string-table takes and list-array construction per block.
+    """
+    strings: list[str] = []
+    groups: list[bytes] = []
+    granularity, lat_offset, lon_offset = 100, 0, 0
+    for fno, wt, val in _fields(data):
+        if fno == 1:
+            strings = [s.decode("utf-8") for f2, w2, s in _fields(val) if f2 == 1]
+        elif fno == 2:
+            groups.append(val)
+        elif fno == 17:
+            granularity = val
+        elif fno == 19:
+            lat_offset = val
+        elif fno == 20:
+            lon_offset = val
+    stab = np.array(strings, dtype=object) if strings else np.zeros(0, object)
+
+    batches = []
+    for group in groups:
+        # ways / relations accumulate RAW packed-field byte slices per
+        # block; one numpy pass decodes each column across all entities
+        w_ids, w_ref_slices, w_key_slices, w_val_slices = [], [], [], []
+        r_ids, r_mem_slices, r_type_slices, r_role_slices = [], [], [], []
+        r_key_slices, r_val_slices = [], []
+        for fno, wt, val in _fields(group):
+            if fno == 2:  # dense nodes — fully vectorized
+                ids_p, lats_p, lons_p, kv_p = [], [], [], []
+                for f2, w2, v2 in _fields(val):
+                    if f2 == 1:
+                        _packed_u64(w2, v2, ids_p)
+                    elif f2 == 8:
+                        _packed_u64(w2, v2, lats_p)
+                    elif f2 == 9:
+                        _packed_u64(w2, v2, lons_p)
+                    elif f2 == 10:
+                        _packed_u64(w2, v2, kv_p)
+                ids = np.cumsum(np_unzigzag(_cat(ids_p)))
+                lats = np.cumsum(np_unzigzag(_cat(lats_p)))
+                lons = np.cumsum(np_unzigzag(_cat(lons_p)))
+                kv = _cat(kv_p).astype(np.int64)
+                batches.append(
+                    _entity_batch(
+                        "node",
+                        ids,
+                        _kv_tags_array(kv, len(ids), stab),
+                        _fixed_from_raw(lats, granularity, lat_offset),
+                        _fixed_from_raw(lons, granularity, lon_offset),
+                    )
+                )
+            elif fno == 1:  # non-dense node (rare)
+                nid = nlat = nlon = 0
+                kp, vp = [], []
+                for f2, w2, v2 in _fields(val):
+                    if f2 == 1:
+                        nid = np_unzigzag(np.array([v2], np.uint64))[0]
+                    elif f2 == 8:
+                        nlat = np_unzigzag(np.array([v2], np.uint64))[0]
+                    elif f2 == 9:
+                        nlon = np_unzigzag(np.array([v2], np.uint64))[0]
+                    elif f2 == 2:
+                        _packed_u64(w2, v2, kp)
+                    elif f2 == 3:
+                        _packed_u64(w2, v2, vp)
+                kc, vc = _cat(kp).astype(np.int64), _cat(vp).astype(np.int64)
+                offs = np.array([0, len(kc)], np.int32)
+                batches.append(
+                    _entity_batch(
+                        "node",
+                        np.array([nid], np.int64),
+                        _tags_list_array(offs, stab[kc], stab[vc]),
+                        _fixed_from_raw(np.array([nlat], np.int64), granularity, lat_offset),
+                        _fixed_from_raw(np.array([nlon], np.int64), granularity, lon_offset),
+                    )
+                )
+            elif fno == 3:  # way — slice fields, defer all decoding
+                wid = 0
+                kb = vb = rb = b""
+                for f2, w2, v2 in _fields(val):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        kb += v2 if w2 == 2 else _enc_varint(v2)
+                    elif f2 == 3:
+                        vb += v2 if w2 == 2 else _enc_varint(v2)
+                    elif f2 == 8:
+                        rb += v2 if w2 == 2 else _enc_varint(v2)
+                w_ids.append(wid)
+                w_ref_slices.append(rb)
+                w_key_slices.append(kb)
+                w_val_slices.append(vb)
+            elif fno == 4:  # relation — slice fields, defer all decoding
+                rid = 0
+                kb = vb = rolesb = memb = typesb = b""
+                for f2, w2, v2 in _fields(val):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        kb += v2 if w2 == 2 else _enc_varint(v2)
+                    elif f2 == 3:
+                        vb += v2 if w2 == 2 else _enc_varint(v2)
+                    elif f2 == 8:
+                        rolesb += v2 if w2 == 2 else _enc_varint(v2)
+                    elif f2 == 9:
+                        memb += v2 if w2 == 2 else _enc_varint(v2)
+                    elif f2 == 10:
+                        typesb += v2 if w2 == 2 else _enc_varint(v2)
+                r_ids.append(rid)
+                r_mem_slices.append(memb)
+                r_type_slices.append(typesb)
+                r_role_slices.append(rolesb)
+                r_key_slices.append(kb)
+                r_val_slices.append(vb)
+        if w_ids:
+            ref_vals, ref_counts = _batch_packed(w_ref_slices)
+            refs_all = _segmented_delta_cumsum(ref_vals, ref_counts)
+            node_ids = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(ref_counts))), pa.int32()),
+                pa.array(refs_all, pa.int64()),
+            )
+            kc, k_counts = _batch_packed(w_key_slices)
+            vc, _ = _batch_packed(w_val_slices)
+            tag_offs = np.concatenate(([0], np.cumsum(k_counts))).astype(np.int32)
+            batches.append(
+                _entity_batch(
+                    "way",
+                    np.array(w_ids, np.int64),
+                    _tags_list_array(tag_offs, stab[kc.astype(np.int64)], stab[vc.astype(np.int64)]),
+                    node_ids=node_ids,
+                )
+            )
+        if r_ids:
+            tnames = np.array(["NODE", "WAY", "RELATION"], dtype=object)
+            mem_vals, mem_counts = _batch_packed(r_mem_slices)
+            mems = _segmented_delta_cumsum(mem_vals, mem_counts)
+            types, _ = _batch_packed(r_type_slices)
+            roles, _ = _batch_packed(r_role_slices)
+            member_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(tnames[types.astype(np.int64)], pa.string()),
+                    pa.array(mems, pa.int64()),
+                    pa.array(stab[roles.astype(np.int64)], pa.string()),
+                ],
+                names=["type", "member_id", "role"],
+            )
+            members = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(mem_counts))), pa.int32()),
+                member_struct,
+            )
+            kc, k_counts = _batch_packed(r_key_slices)
+            vc, _ = _batch_packed(r_val_slices)
+            tag_offs = np.concatenate(([0], np.cumsum(k_counts))).astype(np.int32)
+            batches.append(
+                _entity_batch(
+                    "relation",
+                    np.array(r_ids, np.int64),
+                    _tags_list_array(tag_offs, stab[kc.astype(np.int64)], stab[vc.astype(np.int64)]),
+                    members=members,
+                )
+            )
+    return batches
+
+
+# ---------------------------------------------------------------------------
 # PrimitiveBlock encode ← pandas frames
 # ---------------------------------------------------------------------------
 
 
 class _StringTable:
-    """Per-block string table; index 0 is reserved for "" (the
-    keys_vals delimiter convention — PBFOutput's StringTable analog)."""
+    """Per-block string table; index 0 holds "" and is RESERVED as the
+    keys_vals terminator — no string (not even an empty tag value) may
+    encode as code 0, so "" gets a fresh index ≥ 1 on first use, exactly
+    like the reference's StringTable (StringTable.java:20-34, whose
+    code map never contains the sentinel entry)."""
 
     def __init__(self) -> None:
-        self.index: dict[str, int] = {"": 0}
+        self.index: dict[str, int] = {}
         self.strings: list[str] = [""]
 
     def code(self, s: str) -> int:
@@ -486,13 +806,13 @@ def _encode_block(kind: str, frame: pd.DataFrame) -> bytes:
         group = _enc_field_bytes(2, dense)
     elif kind == "way":
         msgs = []
-        for _, row in frame.iterrows():
-            tags = _as_list(row["tags"])
+        for row in frame.itertuples(index=False):
+            tags = _as_list(row.tags)
             keys = [st.code(t["key"]) for t in tags]
             vals = [st.code(t["value"]) for t in tags]
-            refs = np.asarray(_as_list(row["node_ids"]), dtype=np.int64)
+            refs = np.asarray(_as_list(row.node_ids), dtype=np.int64)
             msg = (
-                _enc_field_varint(1, int(row["id"]))
+                _enc_field_varint(1, int(row.id))
                 + _enc_packed(2, np.array(keys, np.uint64))
                 + _enc_packed(3, np.array(vals, np.uint64))
                 + _enc_packed(8, np_zigzag(np.diff(refs, prepend=0)))
@@ -502,16 +822,16 @@ def _encode_block(kind: str, frame: pd.DataFrame) -> bytes:
     elif kind == "relation":
         tcode = {"NODE": 0, "WAY": 1, "RELATION": 2}
         msgs = []
-        for _, row in frame.iterrows():
-            tags = _as_list(row["tags"])
+        for row in frame.itertuples(index=False):
+            tags = _as_list(row.tags)
             keys = [st.code(t["key"]) for t in tags]
             vals = [st.code(t["value"]) for t in tags]
-            members = _as_list(row["members"])
+            members = _as_list(row.members)
             roles = [st.code(m["role"]) for m in members]
             memids = np.asarray([m["member_id"] for m in members], dtype=np.int64)
             types = [tcode[m["type"]] for m in members]
             msg = (
-                _enc_field_varint(1, int(row["id"]))
+                _enc_field_varint(1, int(row.id))
                 + _enc_packed(2, np.array(keys, np.uint64))
                 + _enc_packed(3, np.array(vals, np.uint64))
                 + _enc_packed(8, np.array(roles, np.uint64))
@@ -523,6 +843,141 @@ def _encode_block(kind: str, frame: pd.DataFrame) -> bytes:
     else:  # pragma: no cover
         raise ValueError(kind)
     return _enc_field_bytes(1, st.encode()) + _enc_field_bytes(2, group)
+
+
+def _encode_dense_block_arrow(chunk: "pa.RecordBatch") -> bytes:
+    """Node PrimitiveBlock from an Arrow batch with ZERO per-node
+    Python: tag key/value strings flatten to two object arrays, a
+    sorted-unique pass assigns 1-based string-table codes (index 0
+    stays the reserved terminator), and the 0-terminated keys_vals
+    stream is assembled by vectorized scatter."""
+    ids = chunk.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lats = chunk.column("fixed_lat").to_numpy(zero_copy_only=False).astype(np.int64)
+    lons = chunk.column("fixed_lon").to_numpy(zero_copy_only=False).astype(np.int64)
+    tags = chunk.column("tags")
+    if isinstance(tags, pa.ChunkedArray):  # pragma: no cover
+        tags = tags.combine_chunks()
+    import pyarrow.compute as pc
+
+    counts = pc.fill_null(pc.list_value_length(tags), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = tags.flatten()
+    keys = flat.field("key").to_numpy(zero_copy_only=False)
+    vals = flat.field("value").to_numpy(zero_copy_only=False)
+    vals = np.array(["" if v is None else v for v in vals], dtype=object) if any(
+        v is None for v in vals
+    ) else vals
+
+    n_pairs = int(counts.sum())
+    if n_pairs:
+        all_strs = np.concatenate([keys, vals])
+        uniq, inv = np.unique(all_strs, return_inverse=True)
+        codes = (inv + 1).astype(np.uint64)  # 1-based: 0 is the terminator
+        kcodes, vcodes = codes[:n_pairs], codes[n_pairs:]
+        strings = [""] + [str(u) for u in uniq]
+    else:
+        kcodes = vcodes = np.zeros(0, np.uint64)
+        strings = [""]
+
+    # keys_vals stream: per node (k, v)*count then a 0 terminator
+    pair_offs = np.concatenate(([0], np.cumsum(counts)))
+    node_starts = np.concatenate(([0], np.cumsum(2 * counts + 1)))[:-1]
+    kv = np.zeros(int(2 * n_pairs + len(ids)), np.uint64)
+    if n_pairs:
+        j = np.arange(n_pairs)
+        node_of_pair = np.searchsorted(pair_offs, j, side="right") - 1
+        pos = node_starts[node_of_pair] + 2 * (j - pair_offs[node_of_pair])
+        kv[pos] = kcodes
+        kv[pos + 1] = vcodes
+
+    st = b"".join(_enc_field_bytes(1, s.encode("utf-8")) for s in strings)
+    dense = (
+        _enc_packed(1, np_zigzag(np.diff(ids, prepend=0)))
+        + _enc_packed(8, np_zigzag(np.diff(lats, prepend=0)))
+        + _enc_packed(9, np_zigzag(np.diff(lons, prepend=0)))
+        + _enc_packed(10, kv)
+    )
+    group = _enc_field_bytes(2, dense)
+    return _enc_field_bytes(1, st) + _enc_field_bytes(2, group)
+
+
+def _encode_way_block_arrow(chunk: "pa.RecordBatch") -> bytes:
+    """Way PrimitiveBlock from an Arrow batch: refs/tags encode in
+    block-wide numpy passes (per-way-reset delta via segmented diff,
+    one varint scatter, byte spans via cumsum); the only per-way Python
+    left is slicing the precomputed buffers into protobuf messages."""
+    import pyarrow.compute as pc
+
+    ids = chunk.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    refs_col = chunk.column("node_ids")
+    if isinstance(refs_col, pa.ChunkedArray):  # pragma: no cover
+        refs_col = refs_col.combine_chunks()
+    ref_counts = (
+        pc.fill_null(pc.list_value_length(refs_col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    refs = refs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    ref_starts = np.concatenate(([0], np.cumsum(ref_counts)))[:-1]
+    # per-way delta chains: diff globally, restore absolutes at starts
+    deltas = np.diff(refs, prepend=0)
+    nonempty = ref_counts > 0
+    deltas[ref_starts[nonempty]] = refs[ref_starts[nonempty]]
+    ref_bytes, ref_lens = np_encode_varints_with_lens(np_zigzag(deltas))
+    ref_byte_cum = np.concatenate(([0], np.cumsum(ref_lens)))
+    ref_ends = np.cumsum(ref_counts)
+    ref_b_lo = ref_byte_cum[ref_starts]
+    ref_b_hi = ref_byte_cum[ref_ends]
+    ref_buf = ref_bytes.tobytes()
+
+    tags = chunk.column("tags")
+    if isinstance(tags, pa.ChunkedArray):  # pragma: no cover
+        tags = tags.combine_chunks()
+    tag_counts = (
+        pc.fill_null(pc.list_value_length(tags), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = tags.flatten()
+    keys = flat.field("key").to_numpy(zero_copy_only=False)
+    vals = flat.field("value").to_numpy(zero_copy_only=False)
+    n_pairs = int(tag_counts.sum())
+    if n_pairs:
+        if any(v is None for v in vals):
+            vals = np.array(["" if v is None else v for v in vals], dtype=object)
+        all_strs = np.concatenate([keys, vals])
+        uniq, inv = np.unique(all_strs, return_inverse=True)
+        codes = (inv + 1).astype(np.uint64)
+        key_bytes, key_lens = np_encode_varints_with_lens(codes[:n_pairs])
+        val_bytes, val_lens = np_encode_varints_with_lens(codes[n_pairs:])
+        strings = [""] + [str(u) for u in uniq]
+    else:
+        key_bytes = val_bytes = np.zeros(0, np.uint8)
+        key_lens = val_lens = np.zeros(0, np.int64)
+        strings = [""]
+    tag_starts = np.concatenate(([0], np.cumsum(tag_counts)))[:-1]
+    tag_ends = np.cumsum(tag_counts)
+    k_cum = np.concatenate(([0], np.cumsum(key_lens)))
+    v_cum = np.concatenate(([0], np.cumsum(val_lens)))
+    k_lo, k_hi = k_cum[tag_starts], k_cum[tag_ends]
+    v_lo, v_hi = v_cum[tag_starts], v_cum[tag_ends]
+    k_buf, v_buf = key_bytes.tobytes(), val_bytes.tobytes()
+
+    msgs = []
+    for i in range(len(ids)):
+        msg = [_enc_field_varint(1, int(ids[i]))]
+        if tag_counts[i]:
+            kb = k_buf[k_lo[i] : k_hi[i]]
+            vb = v_buf[v_lo[i] : v_hi[i]]
+            msg.append(_enc_varint((2 << 3) | 2) + _enc_varint(len(kb)) + kb)
+            msg.append(_enc_varint((3 << 3) | 2) + _enc_varint(len(vb)) + vb)
+        if ref_counts[i]:
+            rb = ref_buf[ref_b_lo[i] : ref_b_hi[i]]
+            msg.append(_enc_varint((8 << 3) | 2) + _enc_varint(len(rb)) + rb)
+        msgs.append(_enc_field_bytes(3, b"".join(msg)))
+    st = b"".join(_enc_field_bytes(1, s.encode("utf-8")) for s in strings)
+    return _enc_field_bytes(1, st) + _enc_field_bytes(2, b"".join(msgs))
 
 
 def _blob_bytes(kind_str: str, block: bytes) -> bytes:
@@ -563,12 +1018,12 @@ def read_pbf(spark, path: str, blobs_per_task: int = 4):
     """Distributed PBF read → unified entity DataFrame.
 
     The driver indexes blob offsets (header-only scan); executors seek
-    + inflate + decode their own blobs via ``mapInPandas``. At planet
-    scale each blob is ~8k entities, so task granularity is tuned with
-    ``blobs_per_task`` and Spark's own partitioning of the index table.
+    + inflate + decode their own blobs via ``mapInArrow`` — entity
+    columns are built as Arrow arrays directly (``decode_block_arrow``),
+    so dense nodes never touch per-row Python or pandas object dicts.
+    At planet scale each blob is ~8k entities, so task granularity is
+    tuned with ``blobs_per_task`` and the index table's partitioning.
     """
-    from pyspark.sql import functions as F  # noqa: N812
-
     rows = scan_blobs(path)
     header_blobs = [r for r in rows if r[3] == "OSMHeader"]
     with open(path, "rb") as f:
@@ -581,76 +1036,15 @@ def read_pbf(spark, path: str, blobs_per_task: int = 4):
         data_rows, "path string, offset long, size long, kind string, seq long"
     ).repartition(n_part, "seq")
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, r in pdf.iterrows():
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for r in batch.to_pylist():  # a handful of index rows per task
                 with open(r["path"], "rb") as f:
                     f.seek(int(r["offset"]))
                     data = f.read(int(r["size"]))
-                block = decode_primitive_block(_inflate_blob(data))
-                frames = []
-                if block["node_id"]:
-                    ids = np.concatenate(block["node_id"])
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "entity_type": "node",
-                                "id": ids,
-                                "fixed_lat": np.concatenate(block["node_lat"]),
-                                "fixed_lon": np.concatenate(block["node_lon"]),
-                                "tags": [
-                                    [{"key": k, "value": v} for k, v in ts]
-                                    for ts in block["node_tags"]
-                                ],
-                                "node_ids": None,
-                                "members": None,
-                            }
-                        )
-                    )
-                if block["way_id"]:
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "entity_type": "way",
-                                "id": np.array(block["way_id"], np.int64),
-                                "fixed_lat": None,
-                                "fixed_lon": None,
-                                "tags": [
-                                    [{"key": k, "value": v} for k, v in ts]
-                                    for ts in block["way_tags"]
-                                ],
-                                "node_ids": [list(map(int, r)) for r in block["way_refs"]],
-                                "members": None,
-                            }
-                        )
-                    )
-                if block["rel_id"]:
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "entity_type": "relation",
-                                "id": np.array(block["rel_id"], np.int64),
-                                "fixed_lat": None,
-                                "fixed_lon": None,
-                                "tags": [
-                                    [{"key": k, "value": v} for k, v in ts]
-                                    for ts in block["rel_tags"]
-                                ],
-                                "node_ids": None,
-                                "members": [
-                                    [
-                                        {"type": t, "member_id": m, "role": ro}
-                                        for t, m, ro in ms
-                                    ]
-                                    for ms in block["rel_members"]
-                                ],
-                            }
-                        )
-                    )
-                for fr in frames:
-                    yield fr
+                yield from decode_block_arrow(_inflate_blob(data))
 
-    return idx.mapInPandas(decode, schema=ENTITY_SCHEMA)
+    return idx.mapInArrow(decode, schema=ENTITY_SCHEMA)
 
 
 def pbf_nodes(entities):
@@ -710,13 +1104,44 @@ def write_pbf(path: str, nodes, ways, relations, block_size: int = BLOCK_SIZE):
 
         return enc
 
+    blob_pa_schema = pa.schema(
+        [("type_rank", pa.int32()), ("first_id", pa.int64()), ("blob", pa.binary())]
+    )
+
+    def arrow_enc(rank: int, block_fn):
+        # rows arrive id-sorted within the partition (sortWithinPartitions);
+        # each Arrow batch is chunked into ≤block_size blocks with
+        # block-wide vectorized encode — no per-entity Python hot loops
+        def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                for lo in range(0, batch.num_rows, block_size):
+                    chunk = batch.slice(lo, block_size)
+                    if chunk.num_rows == 0:
+                        continue
+                    blob = _blob_bytes("OSMData", block_fn(chunk))
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([rank], pa.int32()),
+                            pa.array([chunk.column("id")[0].as_py()], pa.int64()),
+                            pa.array([blob], pa.binary()),
+                        ],
+                        schema=blob_pa_schema,
+                    )
+
+        return enc
+
     parts = []
     for kind, df in (("node", nodes), ("way", ways), ("relation", relations)):
         if df is None:
             continue
         n_part = max(1, min(df.sparkSession.sparkContext.defaultParallelism, 64))
         arranged = df.repartitionByRange(n_part, F.col("id")).sortWithinPartitions("id")
-        parts.append(arranged.mapInPandas(encoder(kind), schema=blob_schema))
+        if kind == "node":
+            parts.append(arranged.mapInArrow(arrow_enc(0, _encode_dense_block_arrow), schema=blob_schema))
+        elif kind == "way":
+            parts.append(arranged.mapInArrow(arrow_enc(1, _encode_way_block_arrow), schema=blob_schema))
+        else:
+            parts.append(arranged.mapInPandas(encoder(kind), schema=blob_schema))
     blobs = parts[0]
     for p in parts[1:]:
         blobs = blobs.unionByName(p)
