@@ -341,8 +341,30 @@ def scaling_batch_run(
         for _ in range(n_reps):
             t = time.time(); run(); reps.append(time.time() - t)
         med = sorted(reps)[len(reps) // 2]
+
+        # second north-rule metric: spatial-join rows/sec (way→node
+        # resolution, SHUFFLE_HASH both sides) at the same level
+        def run_join():
+            refs = ways.select(
+                F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "ref")
+            )
+            return refs.join(
+                nodes.select(F.col("id").alias("ref"), "fixed_lat", "fixed_lon").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "ref",
+            ).count()
+
+        run_join()  # warmup
+        jreps = []
+        join_rows = 0
+        for _ in range(n_reps):
+            t = time.time(); join_rows = run_join(); jreps.append(time.time() - t)
+        jmed = sorted(jreps)[len(jreps) // 2]
         return {"cpus": master_cpus, "sec": med, "extracts_per_sec": len(boxes) / med,
-                "n_boxes": len(boxes), "reps": [round(r, 1) for r in reps]}
+                "n_boxes": len(boxes), "reps": [round(r, 1) for r in reps],
+                "join_rows_per_sec": join_rows / jmed, "join_sec": jmed,
+                "join_reps": [round(r, 1) for r in jreps]}
     finally:
         stop_spark()
 
@@ -373,9 +395,11 @@ def main() -> int:
         pairs = {}
         for lo, hi in ((2, 8), (8, 32)):
             eff = (runs[hi]["extracts_per_sec"] / runs[lo]["extracts_per_sec"]) / (hi / lo)
+            jeff = (runs[hi]["join_rows_per_sec"] / runs[lo]["join_rows_per_sec"]) / (hi / lo)
             host = (calib[hi] / calib[lo]) / (hi / lo)
             pairs[f"{lo}to{hi}"] = {
                 "efficiency": round(eff, 3),
+                "join_efficiency": round(jeff, 3),
                 "host_cpu_efficiency": round(host, 3),
                 "efficiency_vs_host_ceiling": round(eff / host, 3),
             }
@@ -424,17 +448,17 @@ def write_scaling_report(
         f"{fm['counts']['ways']} ways) at three local parallelism levels,",
         "median of 5 fresh-DAG runs after warmup.",
         "",
-        "| parallelism | batch sec | extracts/sec | host calib (tasks/s) |",
-        "|---|---|---|---|",
+        "| parallelism | batch sec | extracts/sec | join Mrows/s | host calib (tasks/s) |",
+        "|---|---|---|---|---|",
     ]
     for n, r in runs.items():
         lines.append(
-            f"| local[{n}] | {r['sec']:.2f} | {r['extracts_per_sec']:.3f} | {calib[n]:.1f} |"
+            f"| local[{n}] | {r['sec']:.2f} | {r['extracts_per_sec']:.3f} | {r.get('join_rows_per_sec', 0)/1e6:.2f} | {calib[n]:.1f} |"
         )
-    lines += ["", "| N→4N pair | engine efficiency | host ceiling | engine / ceiling |", "|---|---|---|---|"]
+    lines += ["", "| N→4N pair | extract efficiency | join efficiency | host ceiling | extract / ceiling |", "|---|---|---|---|---|"]
     for k, p in pairs.items():
         lines.append(
-            f"| {k.replace('to', '→')} | {p['efficiency']:.3f} | {p['host_cpu_efficiency']:.3f} | {p['efficiency_vs_host_ceiling']:.3f} |"
+            f"| {k.replace('to', '→')} | {p['efficiency']:.3f} | {p.get('join_efficiency', float('nan')):.3f} | {p['host_cpu_efficiency']:.3f} | {p['efficiency_vs_host_ceiling']:.3f} |"
         )
     lines += [
         "",
