@@ -422,6 +422,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_documents(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: equal 8-hex-prefix bucket join over
+    the 60-bit fingerprints (the scale-path first stage; hamming-ball
+    multiprobe is the refinement). Oracle recomputes fingerprints AND
+    the bucket self-join in SQL."""
+    from osm_lib_spark.operators.dedup import simhash_bucket_pairs
+
+    return simhash_bucket_pairs(_documents(spark, sf_dir))
+
+
 def q_text_tokens(spark, sf_dir):
     from osm_lib_spark.operators.text import token_counts
 
@@ -696,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": q_dedup_exact,
             "dedup_minhash_pairs": q_dedup_minhash,
             "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "text_tokens": q_text_tokens,
             "text_quality": q_text_quality,
@@ -1003,6 +1014,23 @@ def oracle_sql() -> dict[str, str]:
                         h -> ((h >> j) & 1) * 2 - 1)) > 0
                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
                 FROM documents
+            """,
+            # bucket self-join over the same SQL-recomputed fingerprints
+            # (equal 8-hex-prefix = simhash >> 28)
+            "dedup_simhash_pairs": f"""
+                WITH sims AS (
+                    SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                        CASE WHEN list_sum(list_transform(
+                            list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> {h15}),
+                            h -> ((h >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+                    FROM documents
+                ),
+                b AS (SELECT doc_id, simhash, simhash >> 28 AS bucket FROM sims)
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       x.simhash AS sim_a, y.simhash AS sim_b
+                FROM b x JOIN b y USING (bucket)
+                WHERE x.doc_id < y.doc_id
             """,
             "dedup_ngram_jaccard": f"""
                 WITH {shingle_cte},
