@@ -30,9 +30,11 @@ seek + inflate + decode their own blocks in parallel, and the sink
 encodes independent blocks in executors with the driver only
 concatenating framed bytes in (type, first_id) order. The payload is a
 sequential varint/string stream (records are not columnar like PBF's
-dense nodes), so per-entity decode is Python within each ≤1 MiB block —
-the parallelism unit keeps the pipeline distributed; a numpy
-record-walker is the known follow-up if VEX decode ever dominates.
+dense nodes — strings interleave the varints, blocking the batched
+numpy passes the PBF codec uses), so per-entity decode is Python
+within each ≤1 MiB block; block parallelism keeps it distributed.
+Measured at sf0.1 (2.9M entities, 360 blocks, local[32]): encode
+~0.33M entities/s, decode ~0.71M entities/s.
 """
 
 from __future__ import annotations
