@@ -432,6 +432,16 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_bucket_pairs(_documents(spark, sf_dir))
 
 
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """EXACT Hamming-ball (≤3) simhash pairs via pigeonhole banding
+    (4×15-bit bands: d≤3 differing bits leave ≥1 band identical, so
+    the equi-join provably loses nothing; bit_count verifies). Oracle
+    recomputes fingerprints, banding, and the verify in SQL."""
+    from osm_lib_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_documents(spark, sf_dir))
+
+
 def q_text_tokens(spark, sf_dir):
     from osm_lib_spark.operators.text import token_counts
 
@@ -707,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_pairs": q_dedup_minhash,
             "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "text_tokens": q_text_tokens,
             "text_quality": q_text_quality,
@@ -1031,6 +1042,31 @@ def oracle_sql() -> dict[str, str]:
                        x.simhash AS sim_a, y.simhash AS sim_b
                 FROM b x JOIN b y USING (bucket)
                 WHERE x.doc_id < y.doc_id
+            """,
+            # pigeonhole Hamming-ball pairs: 4x15-bit band equi-join
+            # candidates, exact bit_count verify — recomputed in SQL
+            "dedup_simhash_hamming": f"""
+                WITH sims AS (
+                    SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                        CASE WHEN list_sum(list_transform(
+                            list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> {h15}),
+                            h -> ((h >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+                    FROM documents
+                ),
+                bands AS (
+                    SELECT doc_id, simhash, bnd,
+                           (simhash >> ((bnd - 1) * 15)) & {(1 << 15) - 1} AS band_sig
+                    FROM sims CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS bnd)
+                ),
+                cands AS (
+                    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                    x.simhash AS sim_a, y.simhash AS sim_b
+                    FROM bands x JOIN bands y USING (bnd, band_sig)
+                    WHERE x.doc_id < y.doc_id
+                )
+                SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+                FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
             """,
             "dedup_ngram_jaccard": f"""
                 WITH {shingle_cte},

@@ -254,6 +254,52 @@ def simhash_bucket_pairs(documents: DataFrame, prefix_hex: int = 8) -> DataFrame
     )
 
 
+def simhash_hamming_pairs(
+    documents: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 60
+) -> DataFrame:
+    """EXACT Hamming-ball near-dup pairs over simhash fingerprints.
+
+    Pigeonhole banding: split the ``bits``-bit fingerprint into
+    ``n_bands`` contiguous bands; two fingerprints within Hamming
+    distance ``max_hamming ≤ n_bands − 1`` must agree EXACTLY on at
+    least one band (d differing bits can dirty at most d bands), so the
+    band equi-join loses nothing. Exact ``bit_count(a ^ b)`` verifies —
+    banding only prunes. Output: (doc_a, doc_b, hamming).
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("exactness needs max_hamming <= n_bands - 1")
+    rows = bits // n_bands
+    s = simhash(documents, bits)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), bnd * rows).bitwiseAND(
+                F.lit((1 << rows) - 1)
+            )
+            for bnd in range(n_bands)
+        ]
+    )
+    banded = s.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "band_sig")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_sig"
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_prefix_candidates(
     documents: DataFrame, n: int = SHINGLE_N, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:

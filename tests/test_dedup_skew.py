@@ -71,3 +71,36 @@ def test_prefix_filter_exact_under_skew(skew_docs):
         for r in ngram_jaccard_pairs(skew_docs).collect()
     }
     assert got == expected
+
+
+def test_simhash_hamming_pairs_exact(spark):
+    """Pigeonhole banding must find EXACTLY the brute-force Hamming
+    ball: planted docs with 0-3 token substitutions around a base text
+    plus distant random docs."""
+    import itertools
+
+    from osm_lib_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    base = " ".join(f"tok{j}" for j in range(40))
+    rows = [(0, base)]
+    for i in range(1, 5):  # light edits → small hamming
+        toks = base.split()
+        for j in range(i):
+            toks[j * 7] = f"edit{i}_{j}"
+        rows.append((i, " ".join(toks)))
+    for i in range(5, 30):  # unrelated docs
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    expected = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert expected  # the planted near-dups really are within the ball
