@@ -225,7 +225,7 @@ def knn_kring(
         )
         for qid, qlat, qlon in query_points
     ]
-    parts: list[DataFrame] = []
+    parts: list[tuple[int, int, int]] = []
 
     while frontier:
         strips = _frontier_strips(spark, frontier)
@@ -257,7 +257,12 @@ def knn_kring(
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist_m").asc(), F.col("node_id").asc()
         )
-        # ≤ k·|frontier| rows — materialize once, reuse for stats + results
+        # ONE job per round: candidates reduce to the window top-k on
+        # the executors, and ONLY that ≤ k·|frontier|-row result — the
+        # queries' own bounded output — crosses to the driver, which
+        # decides termination per query. (Splitting this into an eager
+        # checkpoint + a stats aggregate was a second job per round for
+        # no information gain.)
         ranked = (
             cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -267,40 +272,41 @@ def knn_kring(
                 "node_id",
                 "dist_m",
             )
-            .localCheckpoint(eager=True)
-        )
-        stats = {
-            r.query_id: (int(r.cnt), float(r.kth))
-            for r in ranked.groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
             .collect()
-        }
+        )
+        by_query: dict[int, list] = {}
+        for r in ranked:
+            by_query.setdefault(r.query_id, []).append(r)
 
-        satisfied_ids, next_frontier = [], []
+        next_frontier = []
         for f in frontier:
-            cnt, kth = stats.get(f["query_id"], (0, math.inf))
+            rows = by_query.get(f["query_id"], [])
+            kth = max((r.dist_m for r in rows), default=math.inf)
             bound = _min_dist_beyond_ring(
                 f["qlat"], f["qlon"], f["qx"], f["qy"], f["radius"]
             )
             covered_all = math.isinf(bound)
-            if covered_all or (cnt >= k and kth <= bound) or f["radius"] >= max_ring:
-                satisfied_ids.append(f["query_id"])
-            else:
-                f["radius"] = min(f["radius"] * 2, max_ring)
-                next_frontier.append(f)
-        if satisfied_ids:
-            parts.append(
-                ranked.where(F.col("query_id").isin(satisfied_ids)).select(
-                    "query_id", "rank", "node_id"
+            if (
+                covered_all
+                or (len(rows) >= k and kth <= bound)
+                or f["radius"] >= max_ring
+            ):
+                parts.extend(
+                    (r.query_id, r.rank, r.node_id)
+                    for r in sorted(rows, key=lambda r: r.rank)
                 )
-            )
+            else:
+                # deficit-adaptive growth: each round costs a fixed
+                # Spark job, so sparse regions jump harder (×8 on an
+                # empty ring, ×4 while short of k) and only the final
+                # bound-tightening rounds double. Exactness is
+                # untouched — termination is gated by the distance
+                # bound, never by the growth schedule.
+                growth = 2 if len(rows) >= k else (4 if rows else 8)
+                f["radius"] = min(f["radius"] * growth, max_ring)
+                next_frontier.append(f)
         frontier = next_frontier
 
     if own_cache:
         coords.unpersist()
-    if not parts:
-        return spark.createDataFrame([], "query_id int, rank int, node_id long")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(parts or [], "query_id int, rank int, node_id long")
