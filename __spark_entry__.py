@@ -505,6 +505,23 @@ def q_media_features(spark, sf_dir):
     return decode_media_features(_docs(spark, sf_dir))
 
 
+def q_media_resize(spark, sf_dir):
+    """Image-resize plumbing (stub decode, real mapInPandas batching):
+    target geometry + deterministic resized-content signature."""
+    from osm_lib_spark.operators.multimodal import resize_media
+
+    return resize_media(_docs(spark, sf_dir))
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame sampling: 1→N fan-out inside mapInPandas (each media span
+    emits every 5th of its deterministic frame count) — the oracle
+    recomputes the whole fan-out in SQL."""
+    from osm_lib_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_docs(spark, sf_dir))
+
+
 def q_osc_merge(spark, sf_dir):
     """ST2 diff application: a deterministic changeset (delete id%97=0;
     modify fixed_lat+1 where id%89=1; add id+1e13 clones of id%101=0)
@@ -729,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "emb_dup_pairs": q_emb_dup_pairs,
             "media_catalog": q_media_catalog,
             "media_features": q_media_features,
+            "media_resize": q_media_resize,
+            "media_frames": q_media_frames,
             "osc_merge": q_osc_merge,
             "codec_delta_roundtrip": q_delta_roundtrip,
             "osm_cardinality_stats": q_cardinality_stats,
@@ -1293,6 +1312,26 @@ def oracle_sql() -> dict[str, str]:
                        CAST(('0x' || substr(md5((s).media_ref || '#2'), 1, 8)) AS BIGINT) AS f2,
                        CAST(('0x' || substr(md5((s).media_ref || '#3'), 1, 8)) AS BIGINT) AS f3
                 FROM {_SPANS} WHERE (s).kind = 'media'
+            """,
+            "media_resize": f"""
+                SELECT doc_id, (s).media_ref AS media_ref,
+                       CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+                       CAST(('0x' || substr(md5((s).media_ref || '@224x224'), 1, 15)) AS BIGINT) AS resized_sig
+                FROM {_SPANS} WHERE (s).kind = 'media'
+            """,
+            # full recomputation of the 1→N frame fan-out: the same
+            # deterministic frame count and every-5th sampling
+            "media_frames": f"""
+                WITH vids AS (
+                    SELECT doc_id, (s).media_ref AS media_ref,
+                           10 + CAST(('0x' || substr(md5((s).media_ref), 1, 8)) AS BIGINT) % 40 AS n_frames
+                    FROM {_SPANS}
+                    WHERE (s).kind = 'media'
+                )
+                SELECT doc_id, media_ref,
+                       CAST(f AS INT) AS frame_idx,
+                       CAST(('0x' || substr(md5(media_ref || '#frame' || CAST(f AS VARCHAR)), 1, 15)) AS BIGINT) AS frame_sig
+                FROM vids, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS t(f)
             """,
         }
     )

@@ -96,3 +96,73 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id string, media_ref string, width int, height int, resized_sig long"
+
+
+def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize plumbing: one output row per media span with the
+    target geometry and a content signature of the resized payload.
+
+    STUB semantics (no codec libs in this container): resized_sig =
+    md5-prefix of ``ref@WxH`` — deterministic, SQL-recomputable. A real
+    implementation decodes the binary column, resizes per Arrow batch
+    (PIL/libvips), and signs the output bytes; schema, batching, and
+    partitioning are identical.
+    """
+    media = explode_spans(docs).where(F.col("kind") == "media").select(
+        "doc_id", "media_ref"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
+            out["width"] = width
+            out["height"] = height
+            out["resized_sig"] = [
+                int(hashlib.md5(f"{r}@{width}x{height}".encode()).hexdigest()[:15], 16)
+                for r in out["media_ref"]
+            ]
+            yield out
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sig long"
+
+
+def sample_frames(
+    docs: DataFrame, every_n: int = 5, media_kind: str | None = None
+) -> DataFrame:
+    """Frame sampling: ONE media row fans out to MANY frame rows (the
+    1→N mapInPandas shape a real pyav sampler has). ``media_kind``
+    restricts to e.g. 'video' refs; None samples every media span
+    (the synthetic fixtures carry img refs only — the fan-out plumbing
+    is what's exercised and gated).
+
+    STUB semantics: the 'clip length' is a deterministic function of
+    the ref (10 + md5₈(ref) mod 40 frames); every ``every_n``-th frame
+    is emitted with an md5-derived frame signature — all recomputable
+    in SQL, so the fan-out plumbing itself is oracle-gated.
+    """
+    media = explode_spans(docs).where(F.col("kind") == "media")
+    if media_kind is not None:
+        media = media.where(F.col("media_ref").contains(f"://{media_kind}/"))
+    media = media.select("doc_id", "media_ref")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_ref": [], "frame_idx": [], "frame_sig": []}
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                n_frames = 10 + int(hashlib.md5(ref.encode()).hexdigest()[:8], 16) % 40
+                for idx in range(0, n_frames, every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sig"].append(
+                        int(hashlib.md5(f"{ref}#frame{idx}".encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
