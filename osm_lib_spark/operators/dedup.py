@@ -166,7 +166,21 @@ def _verify_pairs(
     codegen. Per-pair cost is O(|A|+|B|); the join cardinality is the
     candidate count — a hot shingle cannot multiply it (the old
     candidates × exploded-postings join could).
+
+    The set table is semi-join pruned to docs that actually appear in
+    a candidate pair, then lazily checkpointed: only candidate docs'
+    shingle arrays materialize, ONCE, instead of shingling the whole
+    corpus twice (once per join side) — at 10⁹ docs with ~10³
+    candidates this is the difference between touching everything and
+    touching nothing.
     """
+    cands = cands.localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = sets.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     return (
@@ -196,7 +210,7 @@ def minhash_dup_pairs(
     re-checked against the true shingle sets (``_verify_pairs``).
     Output: (doc_a, doc_b, inter, size_a, size_b), ints only.
     """
-    cands = minhash_candidate_pairs(documents).localCheckpoint(eager=False)
+    cands = minhash_candidate_pairs(documents)  # _verify_pairs checkpoints
     return _verify_pairs(cands, _shingle_sets(documents), threshold)
 
 
