@@ -164,3 +164,19 @@ def test_pip_vs_golden(nodes_xs, fixture_xs, meta_xs):
     }
     got = points_in_polygons(nodes_xs, polys)
     assert_df_equal(got, golden(fixture_xs, "pip"), sort_cols=["poly_id", "node_id"])
+
+
+def test_knn_kring_fewer_than_k_nodes(spark):
+    """k exceeds the world's node count: expansion must cover the grid
+    and terminate with all nodes ranked (covered_all path)."""
+    nodes = spark.createDataFrame(
+        [(1, 100000000, 200000000, []), (2, -300000000, 1500000000, []), (3, 0, 0, [])],
+        "id long, fixed_lat int, fixed_lon int, tags array<struct<key:string,value:string>>",
+    )
+    out = knn_kring(nodes, [(0, 10.0, 20.0)], k=10).toPandas()
+    assert len(out) == 3
+    assert sorted(out["rank"]) == [1, 2, 3]
+    brute = knn_brute_force(nodes, [(0, 10.0, 20.0)], k=10).toPandas()
+    assert list(out.sort_values("rank")["node_id"]) == list(
+        brute.sort_values("rank")["node_id"]
+    )
