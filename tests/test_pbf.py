@@ -198,3 +198,68 @@ def test_synthetic_roundtrip_from_span_entities(spark, docs_xs, tmp_path):
     mb = rb["members"].map(lambda ms: tuple((m["type"], m["member_id"], m["role"]) for m in ms))
     assert (ma == mb).all()
     back.unpersist()
+
+
+def test_non_dense_nodes_and_granularity():
+    """Wire variants bangor never exercises: plain (non-dense) Node
+    messages and a non-default granularity/offset — the fixed-point
+    math must mirror osmosis' double order exactly."""
+    import numpy as np
+
+    from osm_lib_spark.sources.pbf import (
+        _enc_field_bytes,
+        _enc_field_varint,
+        _enc_packed,
+        np_zigzag,
+    )
+
+    # stringtable: [""(reserved), "amenity", "cafe"]
+    st = b"".join(_enc_field_bytes(1, s) for s in [b"", b"amenity", b"cafe"])
+    # Node: id=42 (sint64), keys=[1], vals=[2], lat=447730578, lon=-688692696
+    node_msg = (
+        _enc_field_varint(1, int(np_zigzag(np.array([42]))[0]))
+        + _enc_packed(2, np.array([1], np.uint64))
+        + _enc_packed(3, np.array([2], np.uint64))
+        + _enc_field_varint(8, int(np_zigzag(np.array([447730578]))[0]))
+        + _enc_field_varint(9, int(np_zigzag(np.array([-688692696]))[0]))
+    )
+    group = _enc_field_bytes(1, node_msg)
+    block = (
+        _enc_field_bytes(1, st)
+        + _enc_field_bytes(2, group)
+        + _enc_field_varint(17, 100)  # granularity (default, explicit)
+    )
+    b = decode_primitive_block(block)
+    assert list(b["node_id"][0]) == [42]
+    assert list(b["node_lat"][0]) == [447730578]
+    assert list(b["node_lon"][0]) == [-688692696]
+    assert b["node_tags"][0] == [("amenity", "cafe")]
+    # arrow path agrees
+    from osm_lib_spark.sources.pbf import decode_block_arrow
+
+    (batch,) = decode_block_arrow(block)
+    row = batch.to_pylist()[0]
+    assert row["id"] == 42 and row["fixed_lat"] == 447730578
+    assert row["tags"] == [{"key": "amenity", "value": "cafe"}]
+
+    # granularity=1000, lat_offset: degrees = 1e-9*(offset + 1000*raw);
+    # fixed = trunc(deg*1e7) in the same float64 op order
+    raw_lat, raw_lon = 44773057, -68869269
+    off = 500
+    dense = (
+        _enc_packed(1, np_zigzag(np.array([7])))
+        + _enc_packed(8, np_zigzag(np.array([raw_lat])))
+        + _enc_packed(9, np_zigzag(np.array([raw_lon])))
+    )
+    block2 = (
+        _enc_field_bytes(1, _enc_field_bytes(1, b""))
+        + _enc_field_bytes(2, _enc_field_bytes(2, dense))
+        + _enc_field_varint(17, 1000)
+        + _enc_field_varint(19, off)
+        + _enc_field_varint(20, off)
+    )
+    b2 = decode_primitive_block(block2)
+    exp_lat = int(np.float64(off + 1000 * raw_lat) * 1e-9 * 1e7)
+    exp_lon = int(np.float64(off + 1000 * raw_lon) * 1e-9 * 1e7)
+    assert list(b2["node_lat"][0]) == [exp_lat]
+    assert list(b2["node_lon"][0]) == [exp_lon]
