@@ -81,3 +81,60 @@ def test_tile_math_jvm_equals_numpy_property(spark, coords):
     ).toPandas()
     np.testing.assert_array_equal(np.sort(got["x"].to_numpy()), np.sort(np_tile_x(lons)))
     np.testing.assert_array_equal(np.sort(got["y"].to_numpy()), np.sort(np_tile_y(lats)))
+
+
+# --- PBF block codec fuzz: entities → block bytes → entities ------------
+
+_pbf_tag = st.tuples(
+    st.text(st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=10),
+    st.text(st.characters(blacklist_categories=("Cs",)), max_size=12),
+)
+_pbf_id = st.integers(min_value=0, max_value=(1 << 62) - 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    nodes=st.lists(
+        st.tuples(
+            _pbf_id,
+            st.integers(-900_000_000, 900_000_000),
+            st.integers(-1_800_000_000, 1_800_000_000),
+            st.lists(_pbf_tag, max_size=4),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pbf_node_block_roundtrip_property(nodes):
+    """Arbitrary unicode tags (incl. empty values), extreme ids and
+    coordinates survive encode → decode bit-for-bit, on BOTH decode
+    paths (scalar dicts and vectorized Arrow)."""
+    import pandas as pd
+
+    from osm_lib_spark.sources.pbf import (
+        _encode_block,
+        decode_block_arrow,
+        decode_primitive_block,
+    )
+
+    nodes = sorted(nodes, key=lambda t: t[0])
+    frame = pd.DataFrame(
+        {
+            "id": [n[0] for n in nodes],
+            "fixed_lat": [n[1] for n in nodes],
+            "fixed_lon": [n[2] for n in nodes],
+            "tags": [[{"key": k, "value": v} for k, v in n[3]] for n in nodes],
+        }
+    )
+    block = _encode_block("node", frame)
+    dec = decode_primitive_block(block)
+    assert list(dec["node_id"][0]) == [n[0] for n in nodes]
+    assert list(dec["node_lat"][0]) == [n[1] for n in nodes]
+    assert list(dec["node_lon"][0]) == [n[2] for n in nodes]
+    assert dec["node_tags"] == [[(k, v) for k, v in n[3]] for n in nodes]
+    (batch,) = decode_block_arrow(block)
+    rows = batch.to_pylist()
+    for row, n in zip(rows, nodes):
+        assert row["id"] == n[0] and row["fixed_lat"] == n[1]
+        assert row["tags"] == [{"key": k, "value": v} for k, v in n[3]]
