@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         help="TESTING: abort (exit 3) after this stage commits — "
         "simulates a mid-job kill for resume tests",
     )
+    ap.add_argument(
+        "--format",
+        choices=("parquet", "pbf", "vex"),
+        default="parquet",
+        help="output format: parquet tables (default), or a single "
+        ".pbf/.vex file — the reference's own `GET /bbox.pbf` and "
+        "`GET /bbox.vex` surfaces (VanillaExtract.java:102-148)",
+    )
     args = ap.parse_args(argv)
 
     try:
@@ -124,13 +132,28 @@ def main(argv: list[str] | None = None) -> int:
 
         ext = bbox_extract(nodes, ways, relations, bbox, way_tiles=way_tiles)
         counts = {}
-        for name, df in (
-            ("nodes", ext.nodes),
-            ("ways", ext.ways),
-            ("relations", ext.relations),
-        ):
-            df.orderBy("id").write.mode("overwrite").parquet(os.path.join(args.out, name))
-            counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+        if args.format in ("pbf", "vex"):
+            os.makedirs(args.out, exist_ok=True)
+            path = os.path.join(args.out, f"extract.{args.format}")
+            if args.format == "pbf":
+                from osm_lib_spark.sources.pbf import write_pbf as write_fmt
+            else:
+                from osm_lib_spark.sources.vex import write_vex as write_fmt
+            write_fmt(path, ext.nodes, ext.ways, ext.relations)
+            counts = {
+                "nodes": ext.nodes.count(),
+                "ways": ext.ways.count(),
+                "relations": ext.relations.count(),
+                "file": path,
+            }
+        else:
+            for name, df in (
+                ("nodes", ext.nodes),
+                ("ways", ext.ways),
+                ("relations", ext.relations),
+            ):
+                df.orderBy("id").write.mode("overwrite").parquet(os.path.join(args.out, name))
+                counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
 
     print(
         json.dumps(
