@@ -487,6 +487,16 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a real k-means step: one deterministic Lloyd update
+    (integer-quantized per-dimension sums — order-independent, so the
+    trained index is bit-reproducible) between stride init and probing.
+    The oracle retrains the index from scratch in SQL."""
+    from osm_lib_spark.operators.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(_embeddings(spark, sf_dir))
+
+
 def q_emb_dup_pairs(spark, sf_dir):
     from osm_lib_spark.operators.similarity import embedding_dup_pairs
 
@@ -743,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_cosine_topk": q_ann_cosine,
             "ann_lsh_topk": q_ann_lsh,
             "ann_ivf_topk": q_ann_ivf,
+            "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
             "emb_dup_pairs": q_emb_dup_pairs,
             "media_catalog": q_media_catalog,
             "media_features": q_media_features,
@@ -1150,6 +1161,66 @@ def oracle_sql() -> dict[str, str]:
                     SELECT e.vec_id, e.embedding, c.list_id,
                         {fold_dot('e.embedding', 'c.ce')} / (sqrt({fold_dot('e.embedding', 'e.embedding')}) * sqrt({fold_dot('c.ce', 'c.ce')})) AS ccos
                     FROM embeddings e CROSS JOIN cent c
+                ),
+                assign AS (
+                    SELECT vec_id, embedding, list_id FROM ascore
+                    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) = 1
+                ),
+                probes AS (
+                    SELECT a.vec_id AS query_id, a.embedding AS qe, s.list_id
+                    FROM assign a JOIN ascore s USING (vec_id)
+                    WHERE a.vec_id < 10
+                    QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY s.ccos DESC, s.list_id) <= 4
+                ),
+                cands AS (
+                    SELECT DISTINCT p.query_id, p.qe, x.vec_id AS neighbor_id, x.embedding AS ce
+                    FROM probes p JOIN assign x USING (list_id)
+                    WHERE x.vec_id != p.query_id
+                ),
+                scored AS (
+                    SELECT query_id, neighbor_id,
+                        {fold_dot('qe', 'ce')} / (sqrt({fold_dot('qe', 'qe')}) * sqrt({fold_dot('ce', 'ce')})) AS cos
+                    FROM cands
+                )
+                SELECT CAST(query_id AS BIGINT) AS query_id,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+                       neighbor_id
+                FROM scored QUALIFY rank <= 10
+            """,
+            # IVF + one deterministic Lloyd step retrained from scratch:
+            # integer-quantized per-dim sums (floor(x*2^20 + 0.5) as
+            # BIGINT) make the centroid means order-independent, so SQL
+            # reproduces the trained index bit-for-bit
+            "ann_ivf_kmeans_topk": f"""
+                WITH cent0 AS (
+                    SELECT CAST(vec_id // 31 AS INT) AS list_id, embedding AS ce
+                    FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < {16 * 31}
+                ),
+                a0score AS (
+                    SELECT e.vec_id, e.embedding, c.list_id,
+                        {fold_dot('e.embedding', 'c.ce')} / (sqrt({fold_dot('e.embedding', 'e.embedding')}) * sqrt({fold_dot('c.ce', 'c.ce')})) AS ccos
+                    FROM embeddings e CROSS JOIN cent0 c
+                ),
+                a0 AS (
+                    SELECT vec_id, embedding, list_id FROM a0score
+                    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) = 1
+                ),
+                sums AS (
+                    SELECT list_id, i AS pos,
+                           SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+                           COUNT(*) AS n
+                    FROM a0, UNNEST(generate_series(1, 64)) AS t(i)
+                    GROUP BY 1, 2
+                ),
+                cent1 AS (
+                    SELECT list_id,
+                           list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 ORDER BY pos) AS ce
+                    FROM sums GROUP BY list_id
+                ),
+                ascore AS (
+                    SELECT e.vec_id, e.embedding, c.list_id,
+                        {fold_dot('e.embedding', 'c.ce')} / (sqrt({fold_dot('e.embedding', 'e.embedding')}) * sqrt({fold_dot('c.ce', 'c.ce')})) AS ccos
+                    FROM embeddings e CROSS JOIN cent1 c
                 ),
                 assign AS (
                     SELECT vec_id, embedding, list_id FROM ascore

@@ -267,6 +267,123 @@ def ivf_topk(
     )
 
 
+_QUANT = 1 << 20  # centroid quantization: ~1e-6 resolution
+
+
+def _assign_lists(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, list_id): argmax-cosine assignment against a
+    broadcast centroid table (ties → smaller list_id)."""
+    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "list_id",
+        cosine_fold_col(F.col("embedding"), F.col("c_emb")).alias("ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("list_id", F.struct(F.col("ccos"), -F.col("list_id"))).alias("list_id"),
+        F.first("embedding").alias("embedding"),
+    )
+
+
+def _lloyd_step(assign: DataFrame) -> DataFrame:
+    """One k-means (Lloyd) centroid update, DETERMINISTIC at any
+    parallelism: per-dimension sums run over integer-quantized values
+    (round(x·2²⁰) as long), so the aggregation order cannot change the
+    result — float sums are order-dependent, integer sums are not.
+    Mean = (sum/n)/2²⁰ in fixed double op order, reproducible in SQL.
+    """
+    # floor(x·Q + 0.5): explicit half-up rounding — identical semantics
+    # in Spark and DuckDB (their round() tie-breaking conventions differ)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    sums = (
+        assign.select("list_id", F.posexplode(q).alias("pos", "qv"))
+        .groupBy("list_id", "pos")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+    )
+    comp = sums.select(
+        "list_id",
+        "pos",
+        (
+            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(_QUANT))
+        ).alias("v"),
+    )
+    return (
+        comp.groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "list_id",
+            F.transform(F.col("pv"), lambda x: x.getField("v")).alias("c_emb"),
+        )
+    )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN with a REAL k-means step: stride-sample init → argmax
+    assignment → one deterministic Lloyd centroid update → reassignment
+    → nprobe probing → exact rerank. The quantized-integer mean makes
+    the trained index bit-reproducible across engines and cluster
+    sizes, so the DuckDB oracle recomputes the whole pipeline.
+    """
+    cent0 = embeddings.where(
+        (F.col("vec_id") % IVF_STRIDE == 0) & (F.col("vec_id") < nlist * IVF_STRIDE)
+    ).select(
+        (F.col("vec_id") / IVF_STRIDE).cast("int").alias("list_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    a0 = _assign_lists(embeddings, cent0)
+    cent1 = _lloyd_step(a0).localCheckpoint(eager=False)
+    assign = _assign_lists(embeddings, cent1)
+
+    q = assign.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qprobe = q.crossJoin(F.broadcast(cent1)).select(
+        "query_id",
+        "q_emb",
+        "list_id",
+        cosine_fold_col(F.col("q_emb"), F.col("c_emb")).alias("ccos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id").asc())
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "q_emb", "list_id")
+    )
+    cands = (
+        probes.join(assign.select("vec_id", "list_id", "embedding"), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    rescored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_fold_col(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
