@@ -113,3 +113,68 @@ def _inflate(blob: bytes) -> bytes:
 
     (n,) = struct.unpack(">i", blob[8:12])
     return zlib.decompress(blob[12 : 12 + n])
+
+
+def test_vex_block_never_exceeds_inflated_cap():
+    """Flush-before-append: with a tiny max_bytes, no block's INFLATED
+    payload may exceed max_bytes + 0 (a block is flushed before the
+    entity whose addition would cross it), except a block holding a
+    single entity that alone is under the hard 1 MiB cap."""
+    rows = pd.DataFrame(
+        {
+            "id": list(range(1, 21)),
+            "tags": [[{"key": "k", "value": "v" * 30}]] * 20,
+            "node_ids": [None] * 20,
+            "members": [None] * 20,
+            "fixed_lat": list(range(100, 120)),
+            "fixed_lon": list(range(200, 220)),
+        }
+    )
+    blocks = list(encode_vex_rows("node", rows, max_bytes=80))
+    assert len(blocks) > 1
+    for _, blob in blocks:
+        n = _count_entities(blob)
+        payload = _inflate(blob)
+        # multi-entity blocks must respect the soft cap exactly
+        if n > 1:
+            assert len(payload) <= 80
+    # concatenated decode reproduces every entity
+    decoded = pd.concat(
+        [
+            decode_vex_block("node", _count_entities(blob), _inflate(blob))
+            for _, blob in blocks
+        ],
+        ignore_index=True,
+    )
+    assert list(decoded["id"]) == list(range(1, 21))
+    assert list(decoded["fixed_lat"]) == list(range(100, 120))
+
+
+def test_vex_single_giant_entity_raises():
+    """An entity that alone inflates past the 1 MiB reader buffer must
+    be rejected (the reference's fixed-size inflate buffer would
+    overflow)."""
+    giant = pd.DataFrame(
+        {
+            "id": [1],
+            "tags": [[{"key": "blob", "value": "x" * (2 << 20)}]],
+            "node_ids": [None],
+            "members": [None],
+            "fixed_lat": [0],
+            "fixed_lon": [0],
+        }
+    )
+    with pytest.raises(ValueError, match="VEX block buffer"):
+        list(encode_vex_rows("node", giant))
+
+
+def test_write_vex_all_none_raises(tmp_path):
+    with pytest.raises(ValueError, match="nothing to write"):
+        write_vex(str(tmp_path / "e.vex"), None, None, None)
+
+
+def test_write_pbf_all_none_raises(tmp_path):
+    from osm_lib_spark.sources.pbf import write_pbf
+
+    with pytest.raises(ValueError, match="nothing to write"):
+        write_pbf(str(tmp_path / "e.pbf"), None, None, None)
