@@ -116,8 +116,17 @@ _EMPTY = pd.DataFrame(
 
 def read_osc(spark, paths: list[str]):
     """Distributed OSC read: one task decodes one (or a few) diff
-    files; output rows keep (path, seq) so per-file application order
-    is reconstructible downstream."""
+    files; output rows keep (path, seq) so application order is
+    reconstructible downstream.
+
+    ``seq`` is GLOBALLY ordered across files — seq = file_index·2³² +
+    in-file position, with file_index following the order of ``paths``
+    (the replication sequence order, i.e. chronological). Without the
+    file offset, an id changed in two files would tie on its per-file
+    seq and last-wins resolution in ``apply_changes`` became
+    nondeterministic; the reference applies diffs strictly
+    chronologically (Updater.java:73-153).
+    """
     idx = spark.createDataFrame([(p, i) for i, p in enumerate(paths)], "path string, i long")
     idx = idx.repartition(max(1, min(len(paths), 64)), "i")
 
@@ -125,7 +134,9 @@ def read_osc(spark, paths: list[str]):
         for pdf in batches:
             for _, r in pdf.iterrows():
                 with open(r["path"], "rb") as f:
-                    yield parse_osc_bytes(r["path"], f.read())
+                    out = parse_osc_bytes(r["path"], f.read())
+                out["seq"] = out["seq"] + (int(r["i"]) << 32)
+                yield out
 
     return idx.mapInPandas(decode, schema=CHANGE_SCHEMA)
 

@@ -35,20 +35,45 @@ def apply_changes(target: DataFrame, changes: DataFrame, key: str = "id") -> Dat
     (reference applies them identically — a put — per
     OSMChangeParser.java:72-85). Within one batch the LAST change per
     id wins, mirroring in-order application; ordering inside a batch is
-    by the change sequence column ``seq``. A batch WITHOUT ``seq`` must
-    have unique ids — "last wins" is undefined without an order, and
-    silently keeping an arbitrary row (old dropDuplicates fallback)
-    made delete-then-add nondeterministic. Such batches raise.
+    by the change sequence column ``seq`` (``read_osc`` makes seq
+    globally ordered across diff files). A TIE on the winning (id, seq)
+    — two changes to the same id with equal seq — has no defined order
+    and raises at execution time rather than keeping an arbitrary row.
+    A batch WITHOUT ``seq`` must have unique ids — "last wins" is
+    undefined without an order, and silently keeping an arbitrary row
+    (old dropDuplicates fallback) made delete-then-add
+    nondeterministic. Such batches raise.
     """
     order_col = "seq" if "seq" in changes.columns else None
     if order_col:
         from pyspark.sql import Window
 
         w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        wt = Window.partitionBy(key, order_col)
+        # the tie check rides the same window shuffle and stays lazy:
+        # raise_error fires only if the WINNING seq is duplicated (ties
+        # below the max don't affect last-wins)
         changes = (
             changes.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nties", F.count("*").over(wt))
             .where(F.col("_rn") == 1)
-            .drop("_rn")
+            .where(
+                F.when(
+                    F.col("_nties") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"apply_changes: multiple changes tie on ({key}, seq)=("
+                            ),
+                            F.col(key).cast("string"),
+                            F.lit(", "),
+                            F.col(order_col).cast("string"),
+                            F.lit(") — application order is ambiguous"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_rn", "_nties")
         )
     else:
         dup = (

@@ -41,20 +41,37 @@ def sequence_path(sequence_number: int) -> str:
 
 
 def replication_url(timescale: str, sequence_number: int, base: str = BASE_URL) -> str:
-    """Diff URL for (timescale, sequence); sequence 0 → the timescale's
-    current state.txt (Updater.fetchState, Updater.java:73-94)."""
+    """Changeset (diff) URL for (timescale, sequence):
+    '<base><timescale>/AAA/BBB/CCC.osc.gz' — Updater.fetchState appends
+    '.osc.gz' to the sequence path (Updater.java:79-86). Sequence 0 has
+    no changeset; it resolves to the timescale's current state.txt, the
+    same probe fetchState makes when called with sequenceNumber 0."""
     if timescale not in TIMESCALES:
         raise ValueError(f"timescale must be one of {TIMESCALES}")
     root = f"{base}{timescale}/"
     if sequence_number > 0:
-        return root + sequence_path(sequence_number)
+        return root + sequence_path(sequence_number) + ".osc.gz"
+    return root + "state.txt"
+
+
+def state_url(timescale: str, sequence_number: int, base: str = BASE_URL) -> str:
+    """State-file URL for (timescale, sequence):
+    '<base><timescale>/AAA/BBB/CCC.state.txt' for a specific sequence
+    (Updater.java:88-92 — the '.osc.gz' suffix is replaced, keeping the
+    dot), or the timescale's rolling 'state.txt' for sequence 0."""
+    if timescale not in TIMESCALES:
+        raise ValueError(f"timescale must be one of {TIMESCALES}")
+    root = f"{base}{timescale}/"
+    if sequence_number > 0:
+        return root + sequence_path(sequence_number) + ".state.txt"
     return root + "state.txt"
 
 
 def date_string(seconds_since_epoch: float) -> str:
-    """UTC ISO-8601 render of a watermark (F9, Updater.getDateString)."""
+    """UTC 'yyyy-MM-dd HH:mm:ss' render of a watermark — exact
+    Updater.getDateString format (Updater.java:124-128)."""
     return datetime.fromtimestamp(seconds_since_epoch, tz=timezone.utc).strftime(
-        "%Y-%m-%dT%H:%M:%SZ"
+        "%Y-%m-%d %H:%M:%S"
     )
 
 

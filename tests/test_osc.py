@@ -4,6 +4,8 @@ application through apply_changes."""
 import gzip
 import os
 
+from pyspark.sql import functions as F
+
 from osm_lib_spark.sources.osc import (
     osc_node_changes,
     osc_way_changes,
@@ -86,3 +88,67 @@ def test_read_osc_gzip_and_apply(spark, tmp_path):
     wmerged = apply_changes(ways, osc_way_changes(changes))
     wgot = {r.id: list(r.node_ids) for r in wmerged.collect()}
     assert wgot == {10: [1, 2, 3], 11: [1]}
+
+
+OSC_A = b"""<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="7" lat="1.0" lon="2.0"><tag k="v" v="first"/></node></modify>
+</osmChange>
+"""
+OSC_B = b"""<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="7" lat="3.0" lon="4.0"><tag k="v" v="second"/></node></modify>
+</osmChange>
+"""
+
+
+def test_multi_file_osc_last_file_wins(spark, tmp_path):
+    """An id changed in TWO diff files must resolve to the later file's
+    row — seq is globally ordered across files (file_index << 32), so
+    per-file seq values can never tie and pick an arbitrary winner."""
+    pa_, pb = str(tmp_path / "000001.osc.gz"), str(tmp_path / "000002.osc.gz")
+    with open(pa_, "wb") as f:
+        f.write(gzip.compress(OSC_A))
+    with open(pb, "wb") as f:
+        f.write(gzip.compress(OSC_B))
+    changes = read_osc(spark, [pa_, pb])
+    rows = changes.orderBy("seq").collect()
+    assert [r.seq for r in rows] == [0, 1 << 32]
+    target = spark.createDataFrame(
+        [(7, 0, 0)], "id long, fixed_lat long, fixed_lon long"
+    )
+    nodes = osc_node_changes(changes).select(
+        "action", "id",
+        (F.col("fixed_lat").cast("long")).alias("fixed_lat"),
+        (F.col("fixed_lon").cast("long")).alias("fixed_lon"),
+        "seq",
+    )
+    merged = apply_changes(target, nodes, key="id").collect()
+    assert len(merged) == 1
+    assert merged[0].fixed_lat == 30000000  # file B (later) wins
+
+    # reversed path order → file A wins: order is by paths, not content
+    changes_rev = read_osc(spark, [pb, pa_])
+    nodes_rev = osc_node_changes(changes_rev).select(
+        "action", "id",
+        (F.col("fixed_lat").cast("long")).alias("fixed_lat"),
+        (F.col("fixed_lon").cast("long")).alias("fixed_lon"),
+        "seq",
+    )
+    merged_rev = apply_changes(target, nodes_rev, key="id").collect()
+    assert merged_rev[0].fixed_lat == 10000000
+
+
+def test_apply_changes_equal_seq_tie_raises(spark):
+    """Two changes for one id with EQUAL seq have no defined order —
+    must raise at execution, never keep an arbitrary row."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    target = spark.createDataFrame([(1, 100)], "id long, v long")
+    ties = spark.createDataFrame(
+        [("modify", 1, 200, 5), ("modify", 1, 300, 5)],
+        "action string, id long, v long, seq long",
+    )
+    with pytest.raises(PySparkException, match="ambiguous|USER_RAISED"):
+        apply_changes(target, ties, key="id").collect()

@@ -12,6 +12,7 @@ from osm_lib_spark.streaming.replication import (
     find_diffs,
     parse_state_txt,
     replication_url,
+    state_url,
     sequence_path,
 )
 
@@ -25,7 +26,9 @@ def test_sequence_path_math():
     assert sequence_path(1) == "000/000/001"
     assert sequence_path(1_234_567) == "001/234/567"
     assert sequence_path(999_999_999) == "999/999/999"
-    assert replication_url("minute", 4_419_061).endswith("minute/004/419/061")
+    assert replication_url("minute", 4_419_061).endswith("minute/004/419/061.osc.gz")
+    assert state_url("minute", 4_419_061).endswith("minute/004/419/061.state.txt")
+    assert state_url("hour", 0).endswith("hour/state.txt")
     assert replication_url("hour", 0).endswith("hour/state.txt")
 
 
@@ -33,8 +36,8 @@ def test_state_txt_parse_and_date_string():
     txt = "#Sat Aug 16 12:00:00 UTC 2026\nsequenceNumber=12345\ntimestamp=2026-08-16T11\\:59\\:00Z\n"
     st = parse_state_txt(txt, "minute")
     assert st.sequence_number == 12345
-    assert date_string(st.timestamp) == "2026-08-16T11:59:00Z"
-    assert st.url.endswith("minute/000/012/345")
+    assert date_string(st.timestamp) == "2026-08-16 11:59:00"  # Updater.getDateString format
+    assert st.url.endswith("minute/000/012/345.osc.gz")
 
 
 def _feed(timescale_states):
