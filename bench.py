@@ -75,6 +75,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def timed3(name: str, fn):
+        """Warmup + median of 3 — a single contended rep cannot poison
+        the recorded number (the r2 ann_ivf 12.7x 'regression' was one
+        host-steal shot of unchanged code)."""
+        fn()  # warmup: codegen, Arrow worker spin-up, AQE plan cache
+        reps = []
+        for _ in range(3):
+            t = time.time()
+            out = fn()
+            reps.append(time.time() - t)
+        timings[name] = sorted(reps)[1]
+        return out
+
     # -- parse + index build (timed; result cached for the extract batch)
     # Repartition to the session's parallelism before caching: the
     # fixture is ONE parquet file (≈2 input splits), so without this the
@@ -134,10 +147,7 @@ def run_suite(spark, sf_dir: str) -> dict:
             .count()
         )
 
-    run_single(way_tiles)  # warmup
-    t0 = time.time()
-    run_single(way_tiles)
-    timings["tile_extract_single"] = time.time() - t0
+    timed3("tile_extract_single", lambda: run_single(way_tiles))
 
     # store-backed variant: way_tiles read from the Hilbert-partitioned
     # parquet store — the bbox between-filter pushes down to row-group
@@ -146,31 +156,25 @@ def run_suite(spark, sf_dir: str) -> dict:
     store_path = os.path.join(tempfile.gettempdir(), "bench_way_tiles_store")
     write_way_tiles_partitioned(way_tiles, store_path)
     wt_store = spark.read.parquet(store_path)
-    run_single(wt_store)  # warmup
-    t0 = time.time()
-    run_single(wt_store)
-    timings["tile_extract_single_store"] = time.time() - t0
+    timed3("tile_extract_single_store", lambda: run_single(wt_store))
 
     # -- way→node resolution join (J1 over the whole world): rows/sec
-    t0 = time.time()
     # SHUFFLE_HASH: at cluster scale neither side of this join should be
     # broadcast (the exploded refs are |ways|·avg_refs rows); hash-
     # shuffling both sides on the node id is the plan that survives 100×
-    refs = ways.select(F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "ref"))
-    resolved = refs.join(
-        nodes.select(F.col("id").alias("ref"), "fixed_lat", "fixed_lon").hint("SHUFFLE_HASH"),
-        "ref",
-    )
-    join_rows = resolved.count()
-    dt = time.time() - t0
-    timings["way_node_resolution"] = dt
-    extras["spatial_join_rows_per_sec"] = join_rows / dt
+    def run_join():
+        refs = ways.select(F.col("id").alias("way_id"), F.posexplode("node_ids").alias("pos", "ref"))
+        return refs.join(
+            nodes.select(F.col("id").alias("ref"), "fixed_lat", "fixed_lon").hint("SHUFFLE_HASH"),
+            "ref",
+        ).count()
+
+    join_rows = timed3("way_node_resolution", run_join)
+    extras["spatial_join_rows_per_sec"] = join_rows / timings["way_node_resolution"]
     extras["spatial_join_rows"] = join_rows
 
     # -- intersection detection (A1)
-    t0 = time.time()
-    intersections(ways).count()
-    timings["intersections"] = time.time() - t0
+    timed3("intersections", lambda: intersections(ways).count())
 
     # -- kNN: the north-star k-ring path (batched frontier DAG) and the
     # brute-force baseline over the same query points
@@ -179,39 +183,32 @@ def run_suite(spark, sf_dir: str) -> dict:
     from osm_lib_spark.operators.knn import tiled_node_store
 
     knn_pts = [tuple(p) for p in meta["knn_points"]]
-    knn_kring(nodes, knn_pts, k=10).count()  # warmup (cold: tiles per call)
-    t0 = time.time()
-    knn_kring(nodes, knn_pts, k=10).count()
-    timings["knn_kring"] = time.time() - t0
+    timed3("knn_kring", lambda: knn_kring(nodes, knn_pts, k=10).count())
     # steady-state serving path: probe a persisted tile-keyed store
     store = tiled_node_store(nodes).cache()
     store.count()
-    knn_kring(nodes, knn_pts, k=10, tiled=store).count()  # warmup
-    t0 = time.time()
-    knn_kring(nodes, knn_pts, k=10, tiled=store).count()
-    timings["knn_kring_store"] = time.time() - t0
+    timed3("knn_kring_store", lambda: knn_kring(nodes, knn_pts, k=10, tiled=store).count())
     store.unpersist()
-    t0 = time.time()
-    knn_brute_force(nodes, knn_pts, k=10).count()
-    timings["knn_brute"] = time.time() - t0
+    timed3("knn_brute", lambda: knn_brute_force(nodes, knn_pts, k=10).count())
 
     # -- PBF byte codec roundtrip at full fixture scale (K1/S1): encode
     # all entities to a real .pbf, decode it back; entities/sec
     from osm_lib_spark.sources.pbf import read_pbf, write_pbf
 
     pbf_path = os.path.join(tempfile.gettempdir(), "bench_entities.pbf")
-    write_pbf(pbf_path, nodes, ways, relations)  # warmup
-    t0 = time.time()
-    write_pbf(pbf_path, nodes, ways, relations)
-    enc_dt = time.time() - t0
-    read_pbf(spark, pbf_path).count()  # warmup
-    t0 = time.time()
-    total_entities = read_pbf(spark, pbf_path).count()
-    dec_dt = time.time() - t0
-    timings["pbf_encode"] = enc_dt
-    timings["pbf_decode"] = dec_dt
-    extras["pbf_decode_entities_per_sec"] = total_entities / dec_dt
-    extras["pbf_encode_entities_per_sec"] = total_entities / enc_dt
+    timed3("pbf_encode", lambda: write_pbf(pbf_path, nodes, ways, relations))
+    total_entities = timed3("pbf_decode", lambda: read_pbf(spark, pbf_path).count())
+    extras["pbf_decode_entities_per_sec"] = total_entities / timings["pbf_decode"]
+    extras["pbf_encode_entities_per_sec"] = total_entities / timings["pbf_encode"]
+
+    # VEX codec at the same scale (S2/K2 twin of the PBF numbers)
+    from osm_lib_spark.sources.vex import read_vex, write_vex
+
+    vex_path = os.path.join(tempfile.gettempdir(), "bench_entities.vex")
+    timed3("vex_encode", lambda: write_vex(vex_path, nodes, ways, relations))
+    vex_entities = timed3("vex_decode", lambda: read_vex(spark, vex_path).count())
+    extras["vex_decode_entities_per_sec"] = vex_entities / timings["vex_decode"]
+    extras["vex_encode_entities_per_sec"] = vex_entities / timings["vex_encode"]
 
     # -- training-data ops on the driver tables (same single-file split
     # problem: spread rows across the cluster width)
@@ -223,12 +220,8 @@ def run_suite(spark, sf_dir: str) -> dict:
     from osm_lib_spark.operators.text import fingerprints
 
     def timed_warm(name, fn):
-        # first run absorbs codegen/Arrow-worker spin-up; record the
-        # second (fresh DAG each call — operators may checkpoint inside)
-        fn().count()
-        t = time.time()
-        fn().count()
-        timings[name] = time.time() - t
+        # fresh DAG each call (operators may checkpoint inside)
+        timed3(name, lambda: fn().count())
 
     timed_warm("dedup_minhash", lambda: minhash_dup_pairs(documents))
     timed_warm("dedup_simhash", lambda: simhash(documents))
@@ -361,10 +354,30 @@ def scaling_batch_run(
         for _ in range(n_reps):
             t = time.time(); join_rows = run_join(); jreps.append(time.time() - t)
         jmed = sorted(jreps)[len(jreps) // 2]
+
+        # third stage: PBF decode — COMPUTE-bound (numpy passes in Arrow
+        # workers, no wide shuffle), the control that separates 'the
+        # engine stops scaling' from 'the box's shared memory bus and
+        # shuffle disk stop scaling'. The file is written ONCE (block
+        # layout depends on parallelism) so every level decodes
+        # identical bytes.
+        from osm_lib_spark.sources.pbf import read_pbf, write_pbf
+
+        pbf_path = os.path.join(fixture, "scaling_entities.pbf")
+        if not os.path.exists(pbf_path):
+            write_pbf(pbf_path, nodes, ways, relations)
+        read_pbf(spark, pbf_path).count()  # warmup
+        dreps = []
+        n_ent = 0
+        for _ in range(n_reps):
+            t = time.time(); n_ent = read_pbf(spark, pbf_path).count(); dreps.append(time.time() - t)
+        dmed = sorted(dreps)[len(dreps) // 2]
         return {"cpus": master_cpus, "sec": med, "extracts_per_sec": len(boxes) / med,
                 "n_boxes": len(boxes), "reps": [round(r, 1) for r in reps],
                 "join_rows_per_sec": join_rows / jmed, "join_sec": jmed,
-                "join_reps": [round(r, 1) for r in jreps]}
+                "join_reps": [round(r, 1) for r in jreps],
+                "decode_entities_per_sec": n_ent / dmed, "decode_sec": dmed,
+                "decode_reps": [round(r, 1) for r in dreps]}
     finally:
         stop_spark()
 
@@ -396,10 +409,12 @@ def main() -> int:
         for lo, hi in ((2, 8), (8, 32)):
             eff = (runs[hi]["extracts_per_sec"] / runs[lo]["extracts_per_sec"]) / (hi / lo)
             jeff = (runs[hi]["join_rows_per_sec"] / runs[lo]["join_rows_per_sec"]) / (hi / lo)
+            deff = (runs[hi]["decode_entities_per_sec"] / runs[lo]["decode_entities_per_sec"]) / (hi / lo)
             host = (calib[hi] / calib[lo]) / (hi / lo)
             pairs[f"{lo}to{hi}"] = {
                 "efficiency": round(eff, 3),
                 "join_efficiency": round(jeff, 3),
+                "decode_efficiency": round(deff, 3),
                 "host_cpu_efficiency": round(host, 3),
                 "efficiency_vs_host_ceiling": round(eff / host, 3),
             }
@@ -449,18 +464,40 @@ def write_scaling_report(
         f"{fm['counts']['ways']} ways) at three local parallelism levels,",
         "median of 5 fresh-DAG runs after warmup.",
         "",
-        "| parallelism | batch sec | extracts/sec | join Mrows/s | host calib (tasks/s) |",
-        "|---|---|---|---|---|",
+        "| parallelism | batch sec | extracts/sec | join Mrows/s | decode Ment/s | host calib (tasks/s) |",
+        "|---|---|---|---|---|---|",
     ]
     for n, r in runs.items():
         lines.append(
-            f"| local[{n}] | {r['sec']:.2f} | {r['extracts_per_sec']:.3f} | {r.get('join_rows_per_sec', 0)/1e6:.2f} | {calib[n]:.1f} |"
+            f"| local[{n}] | {r['sec']:.2f} | {r['extracts_per_sec']:.3f} | {r.get('join_rows_per_sec', 0)/1e6:.2f} | {r.get('decode_entities_per_sec', 0)/1e6:.2f} | {calib[n]:.1f} |"
         )
-    lines += ["", "| N→4N pair | extract efficiency | join efficiency | host ceiling | extract / ceiling |", "|---|---|---|---|---|"]
+    lines += ["", "| N→4N pair | extract eff | join eff | decode eff | host ceiling | extract / ceiling |", "|---|---|---|---|---|---|"]
     for k, p in pairs.items():
         lines.append(
-            f"| {k.replace('to', '→')} | {p['efficiency']:.3f} | {p.get('join_efficiency', float('nan')):.3f} | {p['host_cpu_efficiency']:.3f} | {p['efficiency_vs_host_ceiling']:.3f} |"
+            f"| {k.replace('to', '→')} | {p['efficiency']:.3f} | {p.get('join_efficiency', float('nan')):.3f} | {p.get('decode_efficiency', float('nan')):.3f} | {p['host_cpu_efficiency']:.3f} | {p['efficiency_vs_host_ceiling']:.3f} |"
         )
+    lines += [
+        "",
+        "## Per-stage saturating resource",
+        "",
+        "Three stages with different bottlenecks, same input, same levels:",
+        "",
+        "- **extract batch** — shuffle-bound: tile-filter scan, then",
+        "  bbox_id-keyed hash joins. Past ~8 threads local mode serializes on",
+        "  ONE shuffle disk + ONE memory bus; efficiency tracks the host",
+        "  ceiling (read the extract/ceiling column).",
+        "- **way→node join** — shuffle-DOMINATED (both sides hash-exchange",
+        "  |ways|·avg_refs rows; minimal compute per row). This is the stage",
+        "  that collapses hardest 8→32: shuffle write+read through the single",
+        "  local disk is the saturating resource, not CPU — on a real 4N",
+        "  cluster each executor brings its own disk and NIC, which is what",
+        "  the partitioned plan actually exercises.",
+        "- **PBF decode** — compute-bound control (numpy column passes inside",
+        "  Arrow workers; input re-read per task, no wide exchange). It should",
+        "  scale AT the host's own multiprocessing ceiling; if it does, the",
+        "  engine adds no scaling penalty of its own and the join gap is",
+        "  attributable to the shared-disk/bus resources named above.",
+    ]
     best = pairs.get("2to8", {})
     lines += [
         "",

@@ -166,6 +166,67 @@ def _frontier_strips(spark, frontier: list[dict]) -> DataFrame:
     )
 
 
+STRIP_SWITCH_ROWS = 8192  # strip rows above which a round joins on coarse cells
+
+
+def _coarse_cell_candidates(spark, probe: DataFrame, frontier: list[dict]) -> DataFrame:
+    """Large-Q/large-ring rounds: the per-(query, xtile-column) strip
+    table grows as Q·(2r+1) rows; thousands of queries with wide rings
+    bloat the broadcast. Instead, cover each ring with ancestor cells in
+    the functions/cells layout at a per-query zoom where the ring spans
+    ≤3 cells per axis — ≤9 build rows per query REGARDLESS of radius —
+    and equi-join nodes on their (exploded, one per distinct zoom this
+    round) ancestor cell.
+
+    Candidates are a SUPERSET of the ring: exactness is unaffected
+    because termination is gated by the ring's distance bound and extra
+    candidates can only tighten the kth distance.
+    """
+    from osm_lib_spark.functions.tiles import ZOOM
+
+    rows = []
+    zoom_dz: dict[int, int] = {}
+    for f in frontier:
+        r = f["radius"]
+        span = min(2 * r + 1, NTILES)
+        dz = min(span.bit_length() - 1, ZOOM)  # 2^dz ∈ (span/2, span]
+        zc = ZOOM - dz
+        step = 1 << dz
+        ncells = NTILES >> dz
+        if 2 * r + 1 >= NTILES:
+            cxs = list(range(ncells))
+        else:
+            ax0 = (f["qx"] - r) // step
+            ax1 = (f["qx"] + r) // step
+            cxs = sorted({ax % ncells for ax in range(ax0, ax1 + 1)})
+        ay0 = max(f["qy"] - r, 0) // step
+        ay1 = min(f["qy"] + r, NTILES - 1) // step
+        zoom_dz[zc] = dz
+        for cx in cxs:
+            for cy in range(ay0, ay1 + 1):
+                cell = (zc << 58) | (cx << 29) | cy
+                rows.append((f["query_id"], cell, f["qlat"], f["qlon"]))
+    cells_df = spark.createDataFrame(
+        rows, "query_id int, cell long, qlat double, qlon double"
+    )
+    # one ancestor cell per distinct round zoom (radii grow in powers,
+    # so this is 1-3 values, not Q values)
+    cell_exprs = [
+        F.shiftleft(F.lit(zc).cast("long"), 58)
+        .bitwiseOR(F.shiftleft(F.shiftright(F.col("xtile").cast("long"), dz), 29))
+        .bitwiseOR(F.shiftright(F.col("ytile").cast("long"), dz))
+        for zc, dz in sorted(zoom_dz.items())
+    ]
+    probed = probe.withColumn("cell", F.explode(F.array(*cell_exprs)))
+    return probed.join(F.broadcast(cells_df), "cell").select(
+        "query_id",
+        "node_id",
+        haversine_m(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")).alias(
+            "dist_m"
+        ),
+    )
+
+
 def tiled_node_store(nodes: DataFrame) -> DataFrame:
     """(node_id, lat, lon, xtile, ytile): the tile-keyed node table the
     k-ring search probes. Build once per dataset (at 100 TB this is the
@@ -198,6 +259,7 @@ def knn_kring(
     initial_ring: int = 1,
     max_ring: int = NTILES,
     tiled: DataFrame | None = None,
+    strip_switch: int = STRIP_SWITCH_ROWS,
 ) -> DataFrame:
     """Exact kNN via batched iterative k-ring expansion.
 
@@ -209,6 +271,11 @@ def knn_kring(
 
     ``tiled`` (from ``tiled_node_store``, ideally persisted): skip the
     per-call tiling scan — the steady-state serving path.
+
+    Rounds whose strip table would exceed ``strip_switch`` rows
+    (Q·(2r+1) growth — thousands of queries with wide rings) switch to
+    the coarse-cell ancestor equi-join (``_coarse_cell_candidates``):
+    O(Q) broadcast rows regardless of radius, same exact results.
     """
     spark = nodes.sparkSession
     own_cache = tiled is None
@@ -228,7 +295,6 @@ def knn_kring(
     parts: list[tuple[int, int, int]] = []
 
     while frontier:
-        strips = _frontier_strips(spark, frontier)
         # coarse prefilter: the frontier's global tile bounding box as
         # PLAIN column predicates — these push down to parquet row-group
         # stats / in-memory batch pruning, which the join condition
@@ -243,17 +309,22 @@ def knn_kring(
             probe = coords.where(
                 F.col("xtile").between(gx0, gx1) & F.col("ytile").between(gy0, gy1)
             )
-        cand = (
-            probe.join(F.broadcast(strips), "xtile")
-            .where(F.col("ytile").between(F.col("ymin"), F.col("ymax")))
-            .select(
-                "query_id",
-                "node_id",
-                haversine_m(
-                    F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
-                ).alias("dist_m"),
+        est_strip_rows = sum(min(2 * f["radius"] + 1, NTILES) for f in frontier)
+        if est_strip_rows > strip_switch:
+            cand = _coarse_cell_candidates(spark, probe, frontier)
+        else:
+            strips = _frontier_strips(spark, frontier)
+            cand = (
+                probe.join(F.broadcast(strips), "xtile")
+                .where(F.col("ytile").between(F.col("ymin"), F.col("ymax")))
+                .select(
+                    "query_id",
+                    "node_id",
+                    haversine_m(
+                        F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
+                    ).alias("dist_m"),
+                )
             )
-        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist_m").asc(), F.col("node_id").asc()
         )

@@ -180,3 +180,42 @@ def test_knn_kring_fewer_than_k_nodes(spark):
     assert list(out.sort_values("rank")["node_id"]) == list(
         brute.sort_values("rank")["node_id"]
     )
+
+
+def test_knn_kring_coarse_cell_path_q100(nodes_xs, meta_xs):
+    """Large-Q path: ≥100 queries with strip_switch forced low so EVERY
+    round uses the coarse-cell ancestor equi-join — results must equal
+    brute force exactly (the coarse cells cover a superset of each
+    ring, so the termination bound stays valid)."""
+    import pandas as pd
+
+    base = [tuple(p) for p in meta_xs["knn_points"]]
+    # fan 100+ queries around the fixture's points (deterministic jitter)
+    pts = []
+    qid = 0
+    for _, qlat, qlon in base:
+        for i in range(21):
+            pts.append((qid, qlat + (i % 5 - 2) * 0.021, qlon + (i % 7 - 3) * 0.017))
+            qid += 1
+    assert len(pts) >= 100
+    brute = (
+        knn_brute_force(nodes_xs, pts, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ring = (
+        knn_kring(nodes_xs, pts, k=5, strip_switch=1)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, ring, check_dtype=False)
+    # and the default threshold (mixed strip/coarse rounds) agrees too
+    ring_default = (
+        knn_kring(nodes_xs, pts, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, ring_default, check_dtype=False)
