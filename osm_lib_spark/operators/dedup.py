@@ -46,6 +46,14 @@ from pyspark.sql import functions as F
 from osm_lib_spark.functions.hashing import md5_int_col
 
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne; a_i·h + b_i stays < 2^62
+# Defaults are TEST-scale. The LSH S-curve threshold is t ≈ (1/b)^(1/r)
+# with r = num_perm/num_bands rows per band: 32 perms / 8 bands → r=4,
+# t ≈ 0.59 — right for the 0.5-Jaccard gates here. A 100-TB corpus run
+# wants num_perm=128, num_bands=16 (r=8, t ≈ 0.71, far fewer false
+# candidates — candidate volume, not signature cost, dominates at
+# scale) and a larger SHINGLE_N (5-gram words) so boilerplate shingles
+# don't saturate buckets. All are plumbed as per-call arguments; the
+# banded-join plan shape is unchanged at any setting.
 NUM_PERM = 32
 NUM_BANDS = 8  # 4 rows per band
 SHINGLE_N = 3

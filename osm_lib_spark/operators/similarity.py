@@ -38,6 +38,13 @@ from pyspark.sql import types as T
 from osm_lib_spark.functions.hashing import cosine_fold_col, dot_fold_np
 
 ANN_SEED = 7
+# Defaults are TEST-scale. For random-hyperplane LSH the collision
+# probability of vectors at angle θ in one band of r = bits/bands sign
+# bits is (1 - θ/π)^r; 16 bits / 4 bands (r=4) recalls broadly at 2k
+# vectors. At 1e9+ vectors raise bits to 64-128 and bands to 8-16
+# (r = 8: tighter buckets — bucket SIZE, hence rerank cost, is what
+# explodes at scale, not signature cost) and rerank stays exact. Both
+# are per-call arguments; plan shape (banded equi-join) is unchanged.
 ANN_BITS = 16
 ANN_BANDS = 4  # 4 bits per band
 

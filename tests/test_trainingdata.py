@@ -167,3 +167,28 @@ def test_media_plumbing(docs_xs):
     exp0 = int(hashlib.md5(f"{frow.media_ref}#0".encode()).hexdigest()[:8], 16)
     assert frow.f0 == exp0
     assert cat.count() == feats.count()
+
+
+def test_ivf_recall_vs_nprobe_monotone(tiny_embeddings):
+    """Recall-vs-cost knob: the top-nprobe probed lists are NESTED as
+    nprobe grows, so candidates (and therefore recall@k) are
+    deterministically monotone — and probing ALL nlist lists makes IVF
+    exhaustive, i.e. exactly the brute-force answer. This pins the knob
+    semantics a 100-TB deployment tunes (cost ∝ nprobe/nlist of the
+    corpus scanned per query)."""
+    from osm_lib_spark.operators.similarity import IVF_NLIST, ivf_topk
+
+    brute = cosine_topk(tiny_embeddings, k=5, n_queries=5).toPandas()
+
+    def recall(nprobe):
+        ann = ivf_topk(tiny_embeddings, k=5, n_queries=5, nprobe=nprobe).toPandas()
+        per_q = []
+        for q in range(5):
+            b = set(brute[brute.query_id == q].neighbor_id)
+            a = set(ann[ann.query_id == q].neighbor_id)
+            per_q.append(len(a & b) / len(b))
+        return sum(per_q) / len(per_q)
+
+    r1, r4, rall = recall(1), recall(4), recall(IVF_NLIST)
+    assert r1 <= r4 <= rall
+    assert rall == 1.0  # full probe == exhaustive == brute force
