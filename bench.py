@@ -305,7 +305,12 @@ def scaling_batch_run(
     spark = get_spark(
         f"scale_{master_cpus}",
         master=f"local[{master_cpus}]",
-        shuffle_partitions=max(8, master_cpus),
+        # CONSTANT across levels (partitions >> cores, the cluster-real
+        # setting): with shuffle_partitions == cpus the mid level ran its
+        # shuffles as ONE skew-exposed wave (wall = slowest partition)
+        # while the low level got balanced multi-wave scheduling — a
+        # measurement artifact, not engine scaling
+        shuffle_partitions=64,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
     )
     try:
