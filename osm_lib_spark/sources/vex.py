@@ -36,8 +36,13 @@ hybrid: a lean structural walk records varint spans — whole ref runs
 jump in O(1) via the block-wide terminator index — then ids/lats/lons/
 refs decode in single vectorized numpy passes and columns build as
 Arrow arrays from flats + offsets (``decode_vex_block_arrow``).
-Measured at sf0.1 (2.9M entities, 363 blocks, local[32]): encode
-~0.32M entities/s, decode ~2.0M entities/s (was 0.71M/s scalar).
+Encode is vectorized the same way in reverse (``_chain_frags``: one
+numpy varint pass per column, per-entity fragments by slicing, block
+splits via cumsum+searchsorted, block-start entities re-encoded against
+reset state — bytes identical to the scalar writer, differential-
+tested). Measured at sf0.1 (2.9M entities, 363 blocks, local[32]):
+encode ~0.40M entities/s (tag strings are the scalar remainder),
+decode ~2.2M entities/s (was 0.71M/s scalar).
 """
 
 from __future__ import annotations
@@ -61,7 +66,9 @@ from osm_lib_spark.sources.pbf import (
     _entity_batch,
     _tags_list_array,
     np_decode_varints,
+    np_encode_varints_with_lens,
     np_unzigzag,
+    np_zigzag,
 )
 
 VEX_BUFFER_SIZE = 1 << 20  # VEXBlock.java:25 — inflated blocks ≤ 1 MiB
@@ -429,13 +436,143 @@ def _encode_vex_entity(kind: str, row, state: tuple) -> tuple:
     return bytes(w.out), (eid, prev_lat, prev_lon, prev_ref)
 
 
+_UV_SMALL = [bytes([i]) for i in range(128)]  # 1-byte varints (the common case)
+
+
+def _uv(n: int) -> bytes:
+    if n < 128:
+        return _UV_SMALL[n]
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag_blob(tags) -> bytes:
+    """Tag list → its wire bytes WITHOUT the leading count (the count
+    is a vectorized column)."""
+    parts = []
+    for t in _as_list(tags):
+        k = (t["key"] or "").encode("utf-8")
+        v = (t["value"] if t["value"] is not None else "").encode("utf-8")
+        parts.append(_uv(len(k)))
+        parts.append(k)
+        parts.append(_uv(len(v)))
+        parts.append(v)
+    return b"".join(parts)
+
+
+def _varint_col_frags(vals: np.ndarray) -> list:
+    """uint64 column → per-value varint bytes objects via ONE vectorized
+    encode + C-level slicing."""
+    enc, lens = np_encode_varints_with_lens(vals)
+    buf = enc.tobytes()
+    out = []
+    o = 0
+    for ln in lens.tolist():
+        out.append(buf[o : o + ln])
+        o += ln
+    return out
+
+
+def _chain_frags(kind: str, frame: pd.DataFrame) -> list:
+    """Per-entity wire fragments assuming an UNBROKEN delta chain from
+    state zero (entity 0 is naturally reset-state; block starts > 0 get
+    re-encoded scalar-side). All varint columns encode in single numpy
+    passes — the old per-varint Python writer was the encode hot spot.
+    """
+    ids = frame["id"].to_numpy(np.int64)
+    id_b = _varint_col_frags(np_zigzag(np.diff(ids, prepend=0)))
+    tags_cells = frame["tags"].tolist()
+    ntags = np.array([len(_as_list(t)) for t in tags_cells], np.uint64)
+    nt_b = _varint_col_frags(ntags)
+    blobs = [_tag_blob(t) if n else b"" for t, n in zip(tags_cells, ntags.tolist())]
+    if kind == "node":
+        lat_b = _varint_col_frags(
+            np_zigzag(np.diff(frame["fixed_lat"].to_numpy(np.int64), prepend=0))
+        )
+        lon_b = _varint_col_frags(
+            np_zigzag(np.diff(frame["fixed_lon"].to_numpy(np.int64), prepend=0))
+        )
+        return [
+            i + n + t + la + lo
+            for i, n, t, la, lo in zip(id_b, nt_b, blobs, lat_b, lon_b)
+        ]
+    # way: the ref delta chain carries ACROSS entities within a block
+    refs_cells = [_as_list(r) for r in frame["node_ids"].tolist()]
+    counts = np.array([len(r) for r in refs_cells], np.int64)
+    nref_b = _varint_col_frags(counts.astype(np.uint64))
+    if counts.sum():
+        flat = np.concatenate(
+            [np.asarray(r, np.int64) for r in refs_cells if len(r)]
+        )
+        enc, lens = np_encode_varints_with_lens(np_zigzag(np.diff(flat, prepend=0)))
+        refbuf = enc.tobytes()
+        seg_lens = np.zeros(len(counts), np.int64)
+        np.add.at(
+            seg_lens, np.repeat(np.arange(len(counts)), counts), lens
+        )
+        offs = np.concatenate(([0], np.cumsum(seg_lens))).tolist()
+        run_b = [refbuf[offs[i] : offs[i + 1]] for i in range(len(counts))]
+    else:
+        run_b = [b""] * len(counts)
+    return [
+        i + n + t + nr + rr
+        for i, n, t, nr, rr in zip(id_b, nt_b, blobs, nref_b, run_b)
+    ]
+
+
 def encode_vex_rows(kind: str, frame: pd.DataFrame, max_bytes: int = 900_000):
     """Encode id-sorted entity rows into 1+ framed blocks, flushing
     BEFORE an entity whose addition would cross the inflated-size cap
     (so no block ever exceeds the reader's 1 MiB buffer — the old
     flush-after-append could overflow it on a single huge relation).
     A lone entity larger than the cap is a hard error. Yields
-    (first_id, framed_bytes)."""
+    (first_id, framed_bytes).
+
+    Node/way blocks encode vectorized (``_chain_frags``: one numpy
+    varint pass per column, per-entity fragments by slicing); only each
+    block's FIRST entity re-encodes scalar-side against reset delta
+    state, so the emitted bytes are identical to the scalar writer's
+    (differential-tested). Relations stay scalar — string-heavy members,
+    ~0.5% of entities.
+    """
+    if kind in ("node", "way") and len(frame):
+        frags = _chain_frags(kind, frame)
+        frag_lens = np.fromiter((len(f) for f in frags), np.int64, count=len(frags))
+        gcs = np.cumsum(frag_lens)  # gcs[j] = chain bytes of entities 0..j
+        ids = frame["id"].to_numpy(np.int64)
+        n = len(frags)
+        i = 0
+        while i < n:
+            if i == 0:
+                reset_b = frags[0]  # chain-from-zero == reset state
+            else:
+                reset_b, _ = _encode_vex_entity(kind, frame.iloc[i], _ZERO_STATE)
+            if len(reset_b) > VEX_BUFFER_SIZE:
+                raise ValueError(
+                    f"single {kind} {int(ids[i])} encodes to {len(reset_b)} bytes — "
+                    f"exceeds the {VEX_BUFFER_SIZE}-byte VEX block buffer"
+                )
+            # widest j with len(reset_b) + Σ chain lens (i+1..j) ≤ max_bytes
+            thresh = max_bytes - len(reset_b) + int(gcs[i])
+            j = int(np.searchsorted(gcs, thresh, side="right")) - 1
+            j = max(j, i)
+            payload = b"".join([reset_b] + frags[i + 1 : j + 1])
+            yield (int(ids[i]), _frame_block(kind, j - i + 1, payload))
+            i = j + 1
+        return
+    yield from _encode_vex_rows_scalar(kind, frame, max_bytes)
+
+
+def _encode_vex_rows_scalar(kind: str, frame: pd.DataFrame, max_bytes: int = 900_000):
+    """Scalar reference writer (relations + the vectorized writer's
+    differential oracle in tests)."""
     buf = bytearray()
     state = _ZERO_STATE
     n_in_block = 0

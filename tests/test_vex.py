@@ -178,3 +178,48 @@ def test_write_pbf_all_none_raises(tmp_path):
 
     with pytest.raises(ValueError, match="nothing to write"):
         write_pbf(str(tmp_path / "e.pbf"), None, None, None)
+
+
+def test_vectorized_encoder_bytes_identical_to_scalar():
+    """The vectorized node/way encoder must emit byte-identical blocks
+    to the scalar reference writer at every max_bytes (same splits,
+    same wire bytes) — including multi-block splits where the chain
+    resets."""
+    import numpy as np
+
+    from osm_lib_spark.sources.vex import _encode_vex_rows_scalar
+
+    rng = np.random.default_rng(7)
+    n = 500
+    nodes = pd.DataFrame(
+        {
+            "id": np.cumsum(rng.integers(1, 1000, n)).astype(np.int64),
+            "fixed_lat": rng.integers(-900000000, 900000000, n).astype(np.int64),
+            "fixed_lon": rng.integers(-1800000000, 1800000000, n).astype(np.int64),
+            "tags": [
+                [{"key": "k%d" % (i % 5), "value": "v" * (i % 17)}] if i % 3 else []
+                for i in range(n)
+            ],
+            "node_ids": [None] * n,
+            "members": [None] * n,
+        }
+    )
+    ways = pd.DataFrame(
+        {
+            "id": np.cumsum(rng.integers(1, 50, 80)).astype(np.int64),
+            "fixed_lat": [None] * 80,
+            "fixed_lon": [None] * 80,
+            "tags": [[{"key": "highway", "value": "x"}] for _ in range(80)],
+            "node_ids": [
+                list(rng.integers(1, 10**9, rng.integers(0, 30)).tolist())
+                for _ in range(80)
+            ],
+            "members": [None] * 80,
+        }
+    )
+    for kind, frame in (("node", nodes), ("way", ways)):
+        for mb in (200, 1500, 900_000):
+            vec = list(encode_vex_rows(kind, frame, max_bytes=mb))
+            ref = list(_encode_vex_rows_scalar(kind, frame, max_bytes=mb))
+            assert [b for _, b in vec] == [b for _, b in ref], (kind, mb)
+            assert [i for i, _ in vec] == [i for i, _ in ref], (kind, mb)
