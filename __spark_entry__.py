@@ -410,6 +410,12 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_dup_pairs(_documents(spark, sf_dir))
 
 
+def q_dedup_components(spark, sf_dir):
+    from osm_lib_spark.operators.dedup import dup_components
+
+    return dup_components(_documents(spark, sf_dir))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from osm_lib_spark.operators.dedup import simhash
 
@@ -742,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "dedup_exact": q_dedup_exact,
             "dedup_minhash_pairs": q_dedup_minhash,
+            "dedup_components": q_dedup_components,
             "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -781,6 +788,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SPANS = (
     f"(SELECT doc_id, unnest(spans) AS s FROM read_parquet('{DOCS_S}'))"
 )
+
+
+def _dedup_components_oracle_sql(shingle_cte: str) -> str:
+    """Recursive-CTE oracle for connected components over the verified
+    minhash duplicate graph: reach(doc, lbl) closes transitively over
+    the undirected edges, min(lbl) per doc = the component's canonical
+    (minimum) doc_id. Independent fixpoint recomputation — no shared
+    code with the Spark label-propagation loop."""
+    body = _minhash_oracle_sql(shingle_cte)
+    # strip the final SELECT, keep the WITH chain through mh_pairs
+    with_chain = body[: body.rindex("SELECT doc_a, doc_b, inter")]
+    return f"""
+        {with_chain.replace("WITH ", "WITH RECURSIVE ", 1)}
+        , edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        reach(doc, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc
+        )
+        SELECT doc AS doc_id, MIN(lbl) AS component_id,
+               CAST(MIN(lbl) = doc AS BIGINT) AS keep
+        FROM reach GROUP BY doc
+    """
 
 
 def _minhash_oracle_sql(shingle_cte: str) -> str:
@@ -828,12 +862,15 @@ def _minhash_oracle_sql(shingle_cte: str) -> str:
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
             GROUP BY 1, 2
+        ),
+        mh_pairs AS (
+            SELECT doc_a, doc_b, inter, za.sz AS size_a, zb.sz AS size_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+            WHERE inter >= {JACCARD_THRESHOLD} * (za.sz + zb.sz - inter)
         )
-        SELECT doc_a, doc_b, inter, za.sz AS size_a, zb.sz AS size_b
-        FROM inter
-        JOIN sizes za ON za.doc_id = doc_a
-        JOIN sizes zb ON zb.doc_id = doc_b
-        WHERE inter >= {JACCARD_THRESHOLD} * (za.sz + zb.sz - inter)
+        SELECT doc_a, doc_b, inter, size_a, size_b FROM mh_pairs
     """
 
 
@@ -1048,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
             # verify. Must hash-match the Spark banded+array_intersect
             # plan exactly.
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
+            "dedup_components": _dedup_components_oracle_sql(shingle_cte),
             "dedup_simhash": f"""
                 SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
                     CASE WHEN list_sum(list_transform(

@@ -222,6 +222,75 @@ def minhash_dup_pairs(
     return _verify_pairs(cands, _shingle_sets(documents), threshold)
 
 
+def dup_components(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, component_id, keep): connected components over the
+    verified MinHash duplicate graph — the keep-one-per-cluster step a
+    dedup pipeline actually ships. component_id = min doc_id in the
+    component (deterministic canonical survivor); keep = 1 iff this doc
+    IS the survivor. Docs in no duplicate pair are their own singleton
+    component (keep = 1).
+
+    Iterative min-label propagation to fixpoint: labels start at
+    doc_id; each round each doc takes the min of its own and its
+    neighbors' labels. One uniform-key shuffle join + partial-agg min
+    per round, localCheckpointed so the plan stays O(1) across rounds;
+    rounds needed = label-propagation diameter (LSH dup clusters are
+    near-cliques, so 2-3 in practice). The result is the unique
+    fixpoint — independent of round count or partitioning, which is
+    what lets the DuckDB oracle recompute it with a recursive CTE. At
+    extreme scale swap the step for the alternating large-star /
+    small-star formulation (same join shape) to bound rounds at
+    O(log n) on pathological chain graphs.
+    """
+    pairs = minhash_dup_pairs(documents, threshold).select("doc_a", "doc_b")
+    return components_from_pairs(documents, pairs, max_iters)
+
+
+def components_from_pairs(
+    documents: DataFrame, pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Label-propagation connected components over an arbitrary
+    (doc_a, doc_b) undirected pair table — the reusable core of
+    ``dup_components`` (any of the dedup pair generators can feed it).
+    """
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(neigh, labels.doc_id == neigh.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                (F.coalesce("ncomp", "comp") < F.col("comp")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = stepped.where(F.col("_chg")).limit(1).count() == 0
+        labels = stepped.drop("_chg")
+        if converged:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        (F.col("doc_id") == F.col("comp")).cast("long").alias("keep"),
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash) — sign-vote over token 60-bit hashes.
 
