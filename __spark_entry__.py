@@ -416,6 +416,23 @@ def q_dedup_components(spark, sf_dir):
     return dup_components(_documents(spark, sf_dir))
 
 
+def q_sample_stratified(spark, sf_dir):
+    from osm_lib_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _documents(spark, sf_dir),
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+def q_events_sessionize(spark, sf_dir):
+    from osm_lib_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from osm_lib_spark.operators.dedup import simhash
 
@@ -749,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": q_dedup_exact,
             "dedup_minhash_pairs": q_dedup_minhash,
             "dedup_components": q_dedup_components,
+            "sample_stratified": q_sample_stratified,
+            "events_sessionize": q_events_sessionize,
             "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -911,6 +930,8 @@ def _lsh_cte(fold_dot) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from osm_lib_spark.functions.hashing import md5_int_sql
+
     meta = _meta_s()
     out = {
         "osm_parse_nodes": f"SELECT id, fixed_lat, fixed_lon, tags_str FROM read_parquet('{G}/nodes.parquet')",
@@ -1086,6 +1107,33 @@ def oracle_sql() -> dict[str, str]:
             # plan exactly.
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_components": _dedup_components_oracle_sql(shingle_cte),
+            "sample_stratified": f"""
+                SELECT doc_id, lang FROM documents
+                WHERE {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 1000000 <
+                    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                              ELSE 100000 END
+            """,
+            "events_sessionize": """
+                WITH e AS (
+                    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+                ),
+                flags AS (
+                    SELECT user_id, event_id, us,
+                        CASE WHEN lag(us) OVER w IS NULL THEN 1
+                             WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                             ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+                ),
+                sess AS (
+                    SELECT user_id, us,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+                    FROM flags
+                )
+                SELECT user_id, session_seq, COUNT(*) AS n_events,
+                       MAX(us) - MIN(us) AS span_us
+                FROM sess GROUP BY 1, 2
+            """,
             "dedup_simhash": f"""
                 SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
                     CASE WHEN list_sum(list_transform(

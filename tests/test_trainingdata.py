@@ -216,3 +216,53 @@ def test_components_from_pairs_chain(spark):
         5: (5, 1), 6: (5, 0),
         **{i: (10, 1 if i == 10 else 0) for i in range(10, 16)},
     }
+
+
+def test_sample_stratified_nested_and_deterministic(spark):
+    """Hash sampling must be (a) deterministic across calls and (b)
+    NESTED: a higher rate's sample is a superset of a lower rate's —
+    the property that makes scaling-law subset curves consistent."""
+    from osm_lib_spark.operators.sampling import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 else "de", "s", 1) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lo = {r.doc_id for r in sample_stratified(docs, {"en": 0.2, "de": 0.2}).collect()}
+    hi = {r.doc_id for r in sample_stratified(docs, {"en": 0.6, "de": 0.6}).collect()}
+    again = {r.doc_id for r in sample_stratified(docs, {"en": 0.2, "de": 0.2}).collect()}
+    assert lo == again
+    assert lo <= hi
+    # rates land near target (md5 is uniform; 2000 docs -> ±10% abs)
+    assert 0.1 <= len(lo) / 2000 <= 0.3
+    assert 0.5 <= len(hi) / 2000 <= 0.7
+    # per-stratum rate honored: de-only rate 0 excludes every de doc
+    en_only = sample_stratified(docs, {"en": 1.0}, default_rate=0.0)
+    assert {r.lang for r in en_only.collect()} == {"en"}
+
+
+def test_sessionize_hand_computed(spark):
+    """Known gaps -> known sessions: user 1 has events at t0, +10min,
+    +50min (gap>30 -> new session), +55min; user 2 has one event."""
+    from osm_lib_spark.operators.sessions import sessionize
+
+    base = "2026-01-15 12:00:00"
+    rows = [
+        (1, 1, "2026-01-15 12:00:00"),
+        (2, 1, "2026-01-15 12:10:00"),
+        (3, 1, "2026-01-15 13:00:00"),   # 50 min after prev -> new session
+        (4, 1, "2026-01-15 13:05:00"),
+        (5, 2, "2026-01-15 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.span_us)
+        for r in sessionize(ev).collect()
+    }
+    assert got == {
+        (1, 1): (2, 10 * 60 * 1_000_000),
+        (1, 2): (2, 5 * 60 * 1_000_000),
+        (2, 1): (1, 0),
+    }
