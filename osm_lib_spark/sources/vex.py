@@ -544,9 +544,9 @@ def encode_vex_rows(kind: str, frame: pd.DataFrame, max_bytes: int = 900_000):
     """
     if kind in ("node", "way") and len(frame):
         frags = _chain_frags(kind, frame)
-        frag_lens = np.fromiter((len(f) for f in frags), np.int64, count=len(frags))
-        gcs = np.cumsum(frag_lens)  # gcs[j] = chain bytes of entities 0..j
         ids = frame["id"].to_numpy(np.int64)
+        if kind == "way":
+            ref_counts = [len(_as_list(r)) for r in frame["node_ids"].tolist()]
         n = len(frags)
         i = 0
         while i < n:
@@ -559,13 +559,32 @@ def encode_vex_rows(kind: str, frame: pd.DataFrame, max_bytes: int = 900_000):
                     f"single {kind} {int(ids[i])} encodes to {len(reset_b)} bytes — "
                     f"exceeds the {VEX_BUFFER_SIZE}-byte VEX block buffer"
                 )
-            # widest j with len(reset_b) + Σ chain lens (i+1..j) ≤ max_bytes
-            thresh = max_bytes - len(reset_b) + int(gcs[i])
-            j = int(np.searchsorted(gcs, thresh, side="right")) - 1
-            j = max(j, i)
-            payload = b"".join([reset_b] + frags[i + 1 : j + 1])
-            yield (int(ids[i]), _frame_block(kind, j - i + 1, payload))
-            i = j + 1
+            # Exact greedy walk (mirrors the scalar writer's decisions):
+            # chain fragments are valid inside the block EXCEPT for a
+            # way block's first ref-bearing entity when the block opened
+            # with ref-less ways — the ref chain is still at 0 then, so
+            # that one entity re-encodes with (chain id, zero ref) state.
+            # Fuzz-caught: the pure cumsum split missed this case.
+            block = [reset_b]
+            total = len(reset_b)
+            refs_seen = kind != "way" or ref_counts[i] > 0
+            k = i + 1
+            while k < n:
+                if not refs_seen and ref_counts[k] > 0:
+                    fb, _ = _encode_vex_entity(
+                        "way", frame.iloc[k], (int(ids[k - 1]), 0, 0, 0)
+                    )
+                else:
+                    fb = frags[k]
+                if total + len(fb) > max_bytes:
+                    break
+                block.append(fb)
+                total += len(fb)
+                if kind == "way" and ref_counts[k] > 0:
+                    refs_seen = True
+                k += 1
+            yield (int(ids[i]), _frame_block(kind, k - i, b"".join(block)))
+            i = k
         return
     yield from _encode_vex_rows_scalar(kind, frame, max_bytes)
 
