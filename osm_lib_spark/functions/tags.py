@@ -90,14 +90,16 @@ def retain_keys(tags: Column, keys: list[str]) -> Column:
     return F.filter(tags, lambda t: F.array_contains(arr, t["key"]))
 
 
-def add_or_replace_tag(tags: Column, key: str, value: str) -> Column:
+def add_or_replace_tag(tags: Column, key: str, value) -> Column:
     """Upsert by case-insensitive key, else append (OSMEntity.java:91-102).
 
     The reference replaces the value of the FIRST case-insensitive key
     match in place (preserving position) or appends a new tag.
+    ``value`` may be a Column (per-row values — the SpeedSetter.java
+    CSV-driven flow) or a literal string.
     """
     k = F.lit(key)
-    v = F.lit(value)
+    v = value if isinstance(value, Column) else F.lit(value)
     exists = F.exists(tags, lambda t: F.lower(t["key"]) == F.lower(k))
     # Replace only the first match: compare each position with the index
     # of the first case-insensitive match.
