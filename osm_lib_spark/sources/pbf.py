@@ -45,13 +45,15 @@ Spark-first dataflow:
   encode in block-wide numpy passes (`mapInArrow`): string-table codes
   via one sorted-unique, keys_vals assembled by vectorized scatter,
   refs as segmented-delta varints sliced per way by byte-span cumsums.
-  The driver streams the encoded blobs to the file in (type, first_id)
-  order; at object-store scale the blob rows would be PUT as parts and
-  composed — the sequential tail is only the final concatenation.
+  ONE parallel job writes every partition's blocks as a part file
+  (`compose_blob_frame`); the driver concatenates parts in partition
+  order — multipart PUT + compose on an object store, O(1) driver
+  memory, and the encode never serializes on driver round trips.
 
-Measured at sf0.1 (2.9M entities, local[32]): decode ~1.5M entities/s,
-encode ~0.45M entities/s — same order as the reference's single-node
-osmosis stream, with the difference that this codec fans out per blob.
+Measured at sf0.1 (2.9M entities, local[32]): decode ~2.6M entities/s,
+encode ~0.74M entities/s — same order as the reference's single-node
+osmosis stream, with the difference that this codec fans out per blob
+and the sink's part-file compose keeps driver memory O(1).
 """
 
 from __future__ import annotations
@@ -1152,14 +1154,53 @@ def write_pbf(path: str, nodes, ways, relations, block_size: int = BLOCK_SIZE):
     blobs = parts[0]
     for p in parts[1:]:
         blobs = blobs.unionByName(p)
-    # toLocalIterator preserves the orderBy order and pulls ONE partition
-    # at a time — the driver never holds the whole file's blocks (the
-    # multipart-compose shape); a .collect() here would be O(file size)
-    # driver memory at planet scale.
-    n = 0
-    with open(path, "wb") as f:
-        f.write(encode_header_block())
-        for r in blobs.orderBy("type_rank", "first_id").toLocalIterator():
-            f.write(bytes(r.blob))
-            n += 1
-    return n
+    return compose_blob_frame(blobs, path, header=encode_header_block())
+
+
+def compose_blob_frame(blobs, path: str, header: bytes = b"") -> int:
+    """Write an ordered blob frame to ``path`` multipart-compose style:
+    ONE parallel job in which every partition writes its own part file,
+    then the driver concatenates parts in partition order.
+
+    The frame must be (type, first_id)-ordered partition-by-partition —
+    which the sinks' kind-major union over range-partitioned,
+    partition-sorted frames already is — so no orderBy is needed.
+    Earlier shapes were strictly worse: ``collect()`` held the whole
+    file on the driver, and ``toLocalIterator`` ran one JOB per
+    partition (0.04s × 96 partitions of pure scheduling, and the encode
+    itself serialized). On an object store the part files are multipart
+    PUTs and the concat is the compose call; driver memory stays O(1).
+    """
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    out_dir = os.path.dirname(os.path.abspath(path)) or "."
+    tmpdir = _tf.mkdtemp(prefix=".blobparts_", dir=out_dir)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        n = 0
+        with open(os.path.join(tmpdir, f"part-{idx:08d}"), "wb") as f:
+            for pdf in batches:
+                for b in pdf["blob"]:
+                    f.write(bytes(b))
+                    n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    try:
+        total = (
+            blobs.mapInPandas(dump, "n long").agg(F.sum("n")).collect()[0][0] or 0
+        )
+        with open(path, "wb") as outf:
+            if header:
+                outf.write(header)
+            for name in sorted(os.listdir(tmpdir)):
+                with open(os.path.join(tmpdir, name), "rb") as pf:
+                    shutil.copyfileobj(pf, outf)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return int(total)

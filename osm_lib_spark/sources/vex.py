@@ -27,9 +27,9 @@ per-way). Records:
 Blocks are fully self-contained, so the Spark dataflow mirrors the PBF
 codec: a header-only offset scan indexes blocks, ``mapInArrow`` tasks
 seek + inflate + decode their own blocks in parallel, and the sink
-encodes independent blocks in executors with the driver streaming
-framed bytes to the file in (type, first_id) order (toLocalIterator —
-one partition in driver memory at a time). The payload is a sequential
+encodes independent blocks in executors, each partition writing a
+part file in ONE parallel job; the driver concatenates parts in
+partition order (multipart-compose; O(1) driver memory). The payload is a sequential
 varint/string stream (strings interleave the varints, so PBF's purely
 columnar decode doesn't apply directly); the decode is a two-pass
 hybrid: a lean structural walk records varint spans — whole ref runs
@@ -41,8 +41,8 @@ numpy varint pass per column, per-entity fragments by slicing, block
 splits via cumsum+searchsorted, block-start entities re-encoded against
 reset state — bytes identical to the scalar writer, differential-
 tested). Measured at sf0.1 (2.9M entities, 363 blocks, local[32]):
-encode ~0.40M entities/s (tag strings are the scalar remainder),
-decode ~2.2M entities/s (was 0.71M/s scalar).
+encode ~0.76M entities/s (tag strings are the scalar remainder),
+decode ~2.2M entities/s (both were ~0.3-0.7M/s scalar).
 """
 
 from __future__ import annotations
@@ -694,13 +694,9 @@ def write_vex(path: str, nodes, ways, relations):
     blobs = parts[0]
     for p in parts[1:]:
         blobs = blobs.unionByName(p)
-    # toLocalIterator preserves the orderBy order and pulls ONE partition
-    # at a time — the driver never holds the whole file's blocks (the
-    # multipart-compose shape); a .collect() here would be O(file size)
-    # driver memory at planet scale.
-    n = 0
-    with open(path, "wb") as f:
-        for r in blobs.orderBy("type_rank", "first_id").toLocalIterator():
-            f.write(bytes(r.blob))
-            n += 1
-    return n
+    # kind-major union over range-partitioned, partition-sorted frames is
+    # already (type, first_id)-ordered partition-by-partition — one
+    # parallel part-file job + driver compose (see compose_blob_frame).
+    from osm_lib_spark.sources.pbf import compose_blob_frame
+
+    return compose_blob_frame(blobs, path)
