@@ -225,6 +225,13 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     timed_warm("dedup_minhash", lambda: minhash_dup_pairs(documents))
     timed_warm("dedup_simhash", lambda: simhash(documents))
+    from osm_lib_spark.operators.dedup import dup_components
+
+    timed_warm("dedup_components", lambda: dup_components(documents))
+    from osm_lib_spark.operators.sessions import sessionize
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(width)
+    timed_warm("events_sessionize", lambda: sessionize(events))
     timed_warm("text_fingerprint", lambda: fingerprints(documents))
     timed_warm("ann_cosine_topk", lambda: cosine_topk(embeddings))
     timed_warm("ann_lsh_topk", lambda: ann_lsh_topk(embeddings))
