@@ -510,6 +510,12 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(_embeddings(spark, sf_dir))
 
 
+def q_ann_pq(spark, sf_dir):
+    from osm_lib_spark.operators.similarity import pq_topk
+
+    return pq_topk(_embeddings(spark, sf_dir))
+
+
 def q_ann_ivf_kmeans(spark, sf_dir):
     """IVF with a real k-means step: one deterministic Lloyd update
     (integer-quantized per-dimension sums — order-independent, so the
@@ -780,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_topk": q_ann_lsh,
             "ann_ivf_topk": q_ann_ivf,
             "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
+            "ann_pq_topk": q_ann_pq,
             "emb_dup_pairs": q_emb_dup_pairs,
             "media_catalog": q_media_catalog,
             "media_features": q_media_features,
@@ -927,6 +934,96 @@ def _lsh_cte(fold_dot) -> str:
             FROM sigs CROSS JOIN (SELECT unnest(generate_series(1, {ANN_BANDS})) AS bnd)
         )
     """
+
+
+
+def _pq_oracle_sql() -> str:
+    """Full IVF-PQ oracle: retrains the per-subspace codebooks from
+    scratch (stride init + ONE quantized-integer Lloyd step — order-
+    independent means, so SQL matches the Spark training bit-for-bit),
+    re-encodes every vector, rebuilds the per-query ADC lookup tables,
+    and reproduces the shortlist + exact-L2 rerank with vec_id
+    tie-breaks. The ADC sum folds left in subspace order via
+    list_reduce so even the 4-term float addition order matches."""
+    from osm_lib_spark.functions.hashing import l2_fold_sql
+
+    M, SUB, K, STRIDE, NQ, REFINE, KTOP, QUANT = 4, 16, 16, 31, 10, 50, 10, 1 << 20
+
+    def sub_union(table_from: str, slice_other: str) -> str:
+        blocks = []
+        for s in range(M):
+            lo, hi = s * SUB + 1, (s + 1) * SUB
+            blocks.append(
+                f"SELECT {s} AS s, e.vec_id, c.{'cid' if 'cent0' in table_from else 'code'} AS code, "
+                + l2_fold_sql(f"e.embedding[{lo}:{hi}]", slice_other.format(lo=lo, hi=hi))
+                + f" AS dist FROM embeddings e CROSS JOIN {table_from} c"
+                + (f" WHERE c.s = {s}" if "cb1" in table_from else "")
+            )
+        return " UNION ALL ".join(blocks)
+
+    d0 = sub_union("cent0", "c.embedding[{lo}:{hi}]")
+    d1 = sub_union("cb1", "c.ce")
+    return f"""
+        WITH cent0 AS (
+            SELECT CAST(vec_id // {STRIDE} AS INT) AS cid, embedding
+            FROM embeddings WHERE vec_id % {STRIDE} = 0 AND vec_id < {K * STRIDE}
+        ),
+        d0 AS ({d0}),
+        a0 AS (
+            SELECT s, vec_id, code FROM d0
+            QUALIFY row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, code) = 1
+        ),
+        sums AS (
+            SELECT a0.s, a0.code, i AS pos,
+                   SUM(CAST(floor(CAST(e.embedding[a0.s * {SUB} + i] AS DOUBLE) * {float(QUANT)} + 0.5) AS BIGINT)) AS sm,
+                   COUNT(*) AS n
+            FROM a0 JOIN embeddings e USING (vec_id), UNNEST(generate_series(1, {SUB})) AS t(i)
+            GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT gs.s, c.cid AS code, gi.i AS pos, c.embedding[gs.s * {SUB} + gi.i] AS initv
+            FROM cent0 c, UNNEST(generate_series(0, {M - 1})) AS gs(s),
+                 UNNEST(generate_series(1, {SUB})) AS gi(i)
+        ),
+        cb1 AS (
+            SELECT g.s, g.code,
+                   list(CASE WHEN m.n IS NULL THEN CAST(g.initv AS DOUBLE)
+                             ELSE (CAST(m.sm AS DOUBLE) / CAST(m.n AS DOUBLE)) / {float(QUANT)} END
+                        ORDER BY g.pos) AS ce
+            FROM grid g LEFT JOIN sums m ON m.s = g.s AND m.code = g.code AND m.pos = g.pos
+            GROUP BY 1, 2
+        ),
+        d1 AS ({d1}),
+        codes1 AS (
+            SELECT s, vec_id, code FROM d1
+            QUALIFY row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, code) = 1
+        ),
+        lut AS (SELECT s, vec_id AS query_id, code, dist FROM d1 WHERE vec_id < {NQ}),
+        adcp AS (
+            SELECT l.query_id, c.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.s)),
+                               (a, x) -> a + x) AS adc
+            FROM codes1 c JOIN lut l ON l.s = c.s AND l.code = c.code
+            WHERE c.vec_id != l.query_id
+            GROUP BY 1, 2
+        ),
+        shortlist AS (
+            SELECT query_id, vec_id FROM adcp
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) <= {REFINE}
+        ),
+        exact AS (
+            SELECT sl.query_id, sl.vec_id AS neighbor_id,
+                   {l2_fold_sql("e.embedding", "q.embedding")} AS l2
+            FROM shortlist sl
+            JOIN embeddings e ON e.vec_id = sl.vec_id
+            JOIN embeddings q ON q.vec_id = sl.query_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS BIGINT) AS rank,
+               neighbor_id
+        FROM exact QUALIFY rank <= {KTOP}
+    """
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1107,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
             # plan exactly.
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_components": _dedup_components_oracle_sql(shingle_cte),
+            "ann_pq_topk": _pq_oracle_sql(),
             "sample_stratified": f"""
                 SELECT doc_id, lang FROM documents
                 WHERE {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 1000000 <

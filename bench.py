@@ -216,7 +216,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     embeddings = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).repartition(width)
 
     from osm_lib_spark.operators.dedup import minhash_dup_pairs, simhash
-    from osm_lib_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
+    from osm_lib_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk, pq_topk
     from osm_lib_spark.operators.text import fingerprints
 
     def timed_warm(name, fn):
@@ -236,6 +236,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     timed_warm("ann_cosine_topk", lambda: cosine_topk(embeddings))
     timed_warm("ann_lsh_topk", lambda: ann_lsh_topk(embeddings))
     timed_warm("ann_ivf_topk", lambda: ivf_topk(embeddings))
+    timed_warm("ann_pq_topk", lambda: pq_topk(embeddings, dim=64))
 
     extras["n_nodes"] = n_nodes
     extras["n_ways"] = n_ways

@@ -101,6 +101,42 @@ def cosine_fold_col(a: Column, b: Column) -> Column:
     return dot_fold_col(a, b) / (norm_fold_col(a) * norm_fold_col(b))
 
 
+def l2_fold_col(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² as an explicit left fold in double precision —
+    same cross-engine contract as ``dot_fold_col``."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_fold_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, D) × (D,) or (N, D) × (N, D) left-fold squared L2, float64 —
+    bit-identical to ``l2_fold_col``."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if b.ndim == 1:
+        b = np.broadcast_to(b, a.shape)
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        d = a[:, i] - b[:, i]
+        acc = acc + d * d
+    return acc
+
+
+def l2_fold_sql(a: str, b: str) -> str:
+    """DuckDB fragment computing the same left-fold squared L2."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+
+
 def cosine_fold_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)

@@ -412,6 +412,155 @@ def ivf_kmeans_topk(
     return _ivf_query(embeddings, cents1, k, n_queries, nprobe)
 
 
+PQ_M = 4  # subspaces (dim/M dims each)
+PQ_K = 16  # centroids per subspace codebook
+PQ_REFINE = 50  # ADC candidates per query re-ranked exactly
+
+
+def _pq_codes_udf(cb: np.ndarray):
+    """Vectorized PQ encoder: embedding → M subspace codes (argmin L2
+    against the (M, K, sub) codebook; ties → smaller code, matching the
+    oracle's ORDER BY dist, code)."""
+    from osm_lib_spark.functions.hashing import l2_fold_np
+
+    m, kc, sub = cb.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            xs = mat[:, s * sub : (s + 1) * sub]
+            dists = np.empty((kc, len(mat)), dtype=np.float64)
+            for j in range(kc):
+                dists[j] = l2_fold_np(xs, cb[s, j])
+            out[:, s] = np.argmin(dists, axis=0)
+        return pd.Series([row.tolist() for row in out])
+
+    return codes
+
+
+def _pq_train(embeddings: DataFrame, dim: int, m: int, kc: int) -> np.ndarray:
+    """(M, K, dim/M) codebook: stride-sample init per subspace + ONE
+    deterministic quantized Lloyd update (same integer-mean trick as
+    ``_lloyd_step`` — the aggregation order cannot change the result, so
+    the SQL oracle retrains bit-identically). Empty clusters keep their
+    init centroid. The Lloyd sums are the only distributed stage:
+    M·K·sub integer groups, map-side combined."""
+    sub = dim // m
+    init_rows = _collect_cents(_stride_centroids(embeddings, kc))
+    if not init_rows:
+        raise ValueError("PQ training found no stride-sample rows")
+    # tiny corpora yield fewer stride rows than kc — degrade to what's
+    # available (codes just span a smaller codebook)
+    cb0 = np.array(
+        [[[float(v) for v in vec[s * sub : (s + 1) * sub]] for _, vec in init_rows] for s in range(m)],
+        dtype=np.float64,
+    )
+    coded = embeddings.select(
+        "vec_id", "embedding", _pq_codes_udf(cb0)(F.col("embedding")).alias("codes")
+    )
+    subs = F.array(*[F.slice("embedding", s * sub + 1, sub) for s in range(m)])
+    zipped = coded.select(
+        F.posexplode(F.arrays_zip(F.col("codes").alias("code"), subs.alias("sv"))).alias("s", "z")
+    )
+    quant = F.transform(
+        F.col("z.sv"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT)) + F.lit(0.5)).cast("long"),
+    )
+    sums = (
+        zipped.select("s", F.col("z.code").alias("code"), F.posexplode(quant).alias("pos", "qv"))
+        .groupBy("s", "code", "pos")
+        .agg(F.sum("qv").alias("sm"), F.count("*").alias("n"))
+        .collect()
+    )
+    cb1 = cb0.copy()
+    for r in sums:
+        # same op order as _lloyd_step / the SQL oracle: (sum/n)/2^20
+        cb1[r["s"], r["code"], r["pos"]] = float(r["sm"]) / float(r["n"]) / float(_QUANT)
+    return cb1
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    dim: int | None = None,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    refine: int = PQ_REFINE,
+) -> DataFrame:
+    """IVF-PQ-style ANN: product-quantize vectors to M sub-codes, score
+    with asymmetric distance (ADC — per-query lookup tables over the
+    codebook), exact-L2 rerank of the top ``refine`` ADC candidates.
+
+    The 100-TB shape: vectors compress dim·4 bytes → M bytes (here
+    64·4→4, a 64× memory cut), ADC scoring touches only codes + a
+    broadcast (n_queries, M, K) LUT — no embedding bytes move for the
+    scan phase; only the ``refine`` finalists per query read their full
+    vectors. Codebook training is deterministically reproducible (see
+    ``_pq_train``), so the DuckDB oracle retrains from scratch and must
+    agree bit-for-bit; every ordering tie-breaks on vec_id.
+
+    Sizing at real scale: M=8..16, K=256 (byte codes), trained on a
+    sample, with an IVF coarse stage in front (compose with
+    ``ivf_topk``'s list assignment) — the dataflow here is the inner
+    PQ scan + rerank of that standard pipeline.
+    """
+    from osm_lib_spark.functions.hashing import l2_fold_col, l2_fold_np
+
+    dim = _dim_of(embeddings, dim)
+    sub = dim // m
+    cb = _pq_train(embeddings, dim, m, kc)
+    coded = embeddings.select(
+        "vec_id", "embedding", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
+    )
+    q_rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for qid, vec in q_rows:
+        qv = np.asarray(vec, dtype=np.float64)
+        lut = [
+            [float(l2_fold_np(qv[s * sub : (s + 1) * sub].reshape(1, -1), cb[s, j])[0]) for j in range(cb.shape[1])]
+            for s in range(m)
+        ]
+        probe_rows.append((qid, [float(v) for v in vec], lut))
+    probes = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, q_emb array<double>, lut array<array<double>>"
+    )
+    cands = coded.crossJoin(F.broadcast(probes)).where(F.col("vec_id") != F.col("query_id"))
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.col("codes").getItem(s) + 1
+        )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    shortlist = (
+        cands.withColumn("adc", adc)
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= refine)
+    )
+    exact = shortlist.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        l2_fold_col(F.col("embedding"), F.col("q_emb")).alias("l2"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

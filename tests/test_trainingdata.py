@@ -266,3 +266,43 @@ def test_sessionize_hand_computed(spark):
         (1, 2): (2, 5 * 60 * 1_000_000),
         (2, 1): (1, 0),
     }
+
+
+def test_pq_full_refine_equals_l2_brute(tiny_embeddings):
+    """With refine covering the whole corpus, PQ's ADC shortlist is a
+    no-op and the result must equal the exact-L2 top-k (numpy-computed
+    expected, same left-fold kernel); at the default refine the ADC
+    shortlist must still recall most of the true top-5."""
+    import pandas as pd
+
+    from osm_lib_spark.functions.hashing import l2_fold_np
+    from osm_lib_spark.operators.similarity import pq_topk
+
+    pdf = tiny_embeddings.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    exp_rows = []
+    for q in range(5):
+        qi = int(np.nonzero(ids == q)[0][0])
+        d = l2_fold_np(mat, mat[qi])
+        mask = ids != q
+        order = np.lexsort((ids[mask], d[mask]))[:5]
+        for rank, oi in enumerate(order, start=1):
+            exp_rows.append((q, rank, int(ids[mask][oi])))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "rank", "neighbor_id"])
+
+    got_full = (
+        pq_topk(tiny_embeddings, k=5, n_queries=5, refine=10_000)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_full, exp, check_dtype=False)
+
+    got_default = pq_topk(tiny_embeddings, k=5, n_queries=5).toPandas()
+    recall = []
+    for q in range(5):
+        a = set(got_default[got_default.query_id == q].neighbor_id)
+        b = set(exp[exp.query_id == q].neighbor_id)
+        recall.append(len(a & b) / len(b))
+    assert sum(recall) / len(recall) >= 0.6  # ADC is a strong preranker
