@@ -433,6 +433,14 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev)
 
 
+def q_corpus_curate(spark, sf_dir):
+    from osm_lib_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _documents(spark, sf_dir), rates={"en": 0.5, "de": 0.25}, default_rate=0.1
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from osm_lib_spark.operators.dedup import simhash
 
@@ -773,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_pairs": q_dedup_minhash,
             "dedup_components": q_dedup_components,
             "sample_stratified": q_sample_stratified,
+            "corpus_curate": q_corpus_curate,
             "events_sessionize": q_events_sessionize,
             "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1026,6 +1035,12 @@ def _pq_oracle_sql() -> str:
 
 
 
+def _quality_sql() -> str:
+    from osm_lib_spark.operators.text import quality_scores_sql
+
+    return quality_scores_sql("documents")
+
+
 def oracle_sql() -> dict[str, str]:
     from osm_lib_spark.functions.hashing import md5_int_sql
 
@@ -1205,6 +1220,19 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_components": _dedup_components_oracle_sql(shingle_cte),
             "ann_pq_topk": _pq_oracle_sql(),
+            # end-to-end curation: the components + quality oracles run
+            # as subqueries, the sampling hash rule inline — fully
+            # independent recomputation of the composed pipeline
+            "corpus_curate": f"""
+                SELECT d.doc_id, d.lang FROM documents d
+                JOIN ({_dedup_components_oracle_sql(shingle_cte)}) comp
+                  ON comp.doc_id = d.doc_id AND comp.keep = 1
+                JOIN ({_quality_sql()}) q
+                  ON q.doc_id = d.doc_id AND q.is_quality = 1
+                WHERE {md5_int_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 <
+                      CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                                  ELSE 100000 END
+            """,
             "sample_stratified": f"""
                 SELECT doc_id, lang FROM documents
                 WHERE {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 1000000 <
