@@ -433,6 +433,12 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev)
 
 
+def q_text_scrub(spark, sf_dir):
+    from osm_lib_spark.operators.text import scrub_text
+
+    return scrub_text(_documents(spark, sf_dir))
+
+
 def q_corpus_curate(spark, sf_dir):
     from osm_lib_spark.operators.curation import curate_corpus
 
@@ -782,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_components": q_dedup_components,
             "sample_stratified": q_sample_stratified,
             "corpus_curate": q_corpus_curate,
+            "text_scrub": q_text_scrub,
             "events_sessionize": q_events_sessionize,
             "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1220,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_components": _dedup_components_oracle_sql(shingle_cte),
             "ann_pq_topk": _pq_oracle_sql(),
+            "text_scrub": __import__("osm_lib_spark.operators.text", fromlist=["scrub_text_sql"]).scrub_text_sql("documents"),
             # end-to-end curation: the components + quality oracles run
             # as subqueries, the sampling hash rule inline — fully
             # independent recomputation of the composed pipeline

@@ -31,6 +31,13 @@ MIN_LANG_SCORE = 1  # below this → 'und'
 STOPWORDS_EN = LANG_PROFILES["en"]
 PUNCT_CLASS = r"[.!?,;:]"
 
+# Scrub patterns: deliberately restricted to the Java-regex ∩ RE2 common
+# subset (character classes, +/{m,} quantifiers — no backrefs or
+# lookaround) so Spark's regexp_replace and DuckDB's produce identical
+# redactions for the oracle hash-compare.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^ \t\n]+"
+
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization: split on runs of whitespace, trimmed."""
@@ -193,4 +200,51 @@ def fingerprints_sql(table: str = "documents") -> str:
                (acc, v) -> (acc * {FP_BASE} + v) % {MOD_FP}
            ) AS fingerprint
     FROM {table}
+    """
+
+
+def scrub_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, clean_text, n_urls, n_emails): PII/URL scrubbing —
+    redact URLs then emails with sentinel tokens and collapse runs of
+    spaces/tabs. Pure Column regexps (codegen), order fixed (URLs
+    first: an email inside a URL query string is already gone).
+
+    At corpus scale this is the map-only cleaning pass that runs fused
+    with the scan — no shuffle, prunes to (id, text).
+    """
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("long")
+    n_emails_pre = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    no_urls = F.regexp_replace(t, URL_RE, "<URL>")
+    # emails counted AFTER URL removal (emails inside URLs don't double-count)
+    n_emails = F.size(F.regexp_extract_all(no_urls, F.lit(EMAIL_RE), 0)).cast("long")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(no_urls, EMAIL_RE, "<EMAIL>"), r"[ \t]+", " ")
+    )
+    return df.select(
+        id_col,
+        cleaned.alias("clean_text"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+    )
+
+
+def scrub_text_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``scrub_text`` (same restricted patterns, same
+    order of operations)."""
+    email = EMAIL_RE.replace("\\", "\\")
+    url = URL_RE
+    return f"""
+        WITH no_urls AS (
+            SELECT doc_id,
+                   regexp_replace(text, '{url}', '<URL>', 'g') AS nu,
+                   len(regexp_extract_all(text, '{url}')) AS n_urls
+            FROM {table}
+        )
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(nu, '{email}', '<EMAIL>', 'g'),
+                                   '[ \t]+', ' ', 'g')) AS clean_text,
+               CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(nu, '{email}')) AS BIGINT) AS n_emails
+        FROM no_urls
     """

@@ -306,3 +306,20 @@ def test_pq_full_refine_equals_l2_brute(tiny_embeddings):
         b = set(exp[exp.query_id == q].neighbor_id)
         recall.append(len(a & b) / len(b))
     assert sum(recall) / len(recall) >= 0.6  # ADC is a strong preranker
+
+
+def test_scrub_text_hand_computed(spark):
+    from osm_lib_spark.operators.text import scrub_text
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or https://ex.com/a?b=c  now"),
+        (2, "https://x.y/z?email=a@b.com end"),  # email inside URL: not counted
+        (3, "plain\t\ttext   here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_urls, r.n_emails) for r in scrub_text(df).collect()}
+    assert got == {
+        1: ("contact <EMAIL> or <URL> now", 1, 1),
+        2: ("<URL> end", 1, 0),
+        3: ("plain text here", 0, 0),
+    }
