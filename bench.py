@@ -236,7 +236,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     timed_warm("ann_cosine_topk", lambda: cosine_topk(embeddings))
     timed_warm("ann_lsh_topk", lambda: ann_lsh_topk(embeddings))
     timed_warm("ann_ivf_topk", lambda: ivf_topk(embeddings))
-    timed_warm("ann_pq_topk", lambda: pq_topk(embeddings, dim=64))
+    timed_warm("ann_pq_topk", lambda: pq_topk(embeddings))
 
     extras["n_nodes"] = n_nodes
     extras["n_ways"] = n_ways
