@@ -1264,7 +1264,8 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS session_seq
                     FROM flags
                 )
-                SELECT user_id, session_seq, COUNT(*) AS n_events,
+                SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                       COUNT(*) AS n_events,
                        MAX(us) - MIN(us) AS span_us
                 FROM sess GROUP BY 1, 2
             """,

@@ -18,18 +18,15 @@ import pandas as pd  # noqa: E402
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    """Order-insensitive hash: sort columns by name, canonicalize values
-    to strings, sort rows, sha256."""
+    """Order-insensitive hash: sort columns by name, stringify values
+    verbatim (no float reformatting — the driver's gate stringifies
+    as-is, so "1.0" vs "1" is a real mismatch; collapsing via %.9g here
+    previously masked an oracle HUGEINT->float64 dtype drift locally
+    that then failed the driver gate), sort rows, sha256."""
     cols = sorted(df.columns)
     d = df[cols].copy()
     for c in cols:
-        col = d[c]
-        if col.dtype == object:
-            d[c] = col.astype(str)
-        elif str(col.dtype).startswith("float"):
-            d[c] = col.map(lambda v: f"{v:.9g}")
-        else:
-            d[c] = col.astype(str)
+        d[c] = d[c].astype(str)
     rows = sorted("\x1f".join(r) for r in d.itertuples(index=False, name=None))
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
