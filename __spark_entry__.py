@@ -160,36 +160,53 @@ def q_intersections(spark, sf_dir):
     return intersections(parse_ways(_docs(spark, sf_dir)))
 
 
-def _q_rel_members(key):
-    def q(spark, sf_dir):
-        from osm_lib_spark.operators.indexes import rel_member_indexes
-        from osm_lib_spark.sources.span_codec import parse_relations
 
-        return rel_member_indexes(parse_relations(_docs(spark, sf_dir)))[key]
+def q_rel_members(spark, sf_dir):
+    """J8 secondary indexes, all three member types in ONE labeled gate
+    (the per-type queries rotated in and out of the driver's 50-row
+    window; a single union can't)."""
+    from osm_lib_spark.operators.indexes import rel_member_indexes
+    from osm_lib_spark.sources.span_codec import parse_relations
 
-    return q
-
-
-def _q_extract(bbox_name):
-    def q(spark, sf_dir):
-        from osm_lib_spark.operators.extract import bbox_extract
-        from osm_lib_spark.sources.span_codec import (
-            parse_nodes,
-            parse_relations,
-            parse_ways,
+    idx = rel_member_indexes(parse_relations(_docs(spark, sf_dir)))
+    out = None
+    for key in ("node", "way", "relation"):
+        part = idx[key].select(
+            F.lit(key).alias("member_type"), "member_id", "relation_id"
         )
+        out = part if out is None else out.unionByName(part)
+    return out
 
-        docs = _docs(spark, sf_dir)
-        meta = _meta(sf_dir)
-        ext = bbox_extract(
-            parse_nodes(docs),
-            parse_ways(docs),
-            parse_relations(docs),
-            tuple(meta["bboxes"][bbox_name]),
-        )
-        return ext.ids()
 
-    return q
+def q_bbox_extracts(spark, sf_dir):
+    """S4/S5/J1-J6 via ALL FOUR named bboxes as ONE batched extract DAG
+    (``bbox_extract_batch`` — the VanillaExtract concurrent-server
+    analog: one set of shuffles for B boxes). This finally gives the
+    batch operator — the headline bench query — its own driver gate,
+    and the four per-bbox gates can't rotate out independently."""
+    from osm_lib_spark.operators.extract import bbox_extract_batch
+    from osm_lib_spark.sources.span_codec import (
+        parse_nodes,
+        parse_relations,
+        parse_ways,
+    )
+
+    docs = _docs(spark, sf_dir)
+    meta = _meta(sf_dir)
+    names = ["dense", "wide", "world", "equator"]
+    out = bbox_extract_batch(
+        parse_nodes(docs),
+        parse_ways(docs),
+        parse_relations(docs),
+        [tuple(meta["bboxes"][b]) for b in names],
+    )
+    name_map = F.array(*[F.lit(n) for n in names])
+    return out.select(
+        F.element_at(name_map, F.col("bbox_id") + 1).alias("bbox"),
+        "entity_type",
+        "id",
+    )
+
 
 
 def q_roundtrip(spark, sf_dir):
@@ -433,6 +450,36 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev)
 
 
+def q_events_sessionize_stream(spark, sf_dir):
+    """Driver gate for the STATEFUL STREAMING path: run the events
+    table through ``applyInPandasWithState`` sessionization (file
+    source, availableNow trigger, foreachBatch sink) and return the
+    CLOSED sessions — by the contract pinned in tests, exactly the
+    batch sessionize result minus each user's last (still-open)
+    session, which is what the oracle computes independently."""
+    import shutil
+    import tempfile
+
+    from osm_lib_spark.streaming.sessions import SESS_OUTPUT_SCHEMA, run_session_stream
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_gate_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(events_dir, "events.parquet"),
+    )
+    rows = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend(batch_df.collect())
+
+    q = run_session_stream(spark, events_dir, os.path.join(tmp, "ckpt"), sink)
+    q.awaitTermination()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, SESS_OUTPUT_SCHEMA)
+
+
 def q_text_scrub(spark, sf_dir):
     from osm_lib_spark.operators.text import scrub_text
 
@@ -446,11 +493,6 @@ def q_corpus_curate(spark, sf_dir):
         _documents(spark, sf_dir), rates={"en": 0.5, "de": 0.25}, default_rate=0.1
     )
 
-
-def q_dedup_simhash(spark, sf_dir):
-    from osm_lib_spark.operators.dedup import simhash
-
-    return simhash(_documents(spark, sf_dir))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -540,30 +582,23 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_kmeans_topk(_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """The composed IVF∘PQ standard pipeline: map-only coarse list
+    assignment in FRONT of the code-only PQ ADC scan (only the probed
+    nprobe/nlist fraction of codes is scanned), shared exact-L2 rerank.
+    The oracle retrains BOTH index stages from scratch in SQL."""
+    from osm_lib_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(_embeddings(spark, sf_dir))
+
+
 def q_emb_dup_pairs(spark, sf_dir):
     from osm_lib_spark.operators.similarity import embedding_dup_pairs
 
     return embedding_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3, dim=EMB_DIM)
 
 
-def q_media_catalog(spark, sf_dir):
-    from osm_lib_spark.operators.multimodal import media_catalog
 
-    return media_catalog(_docs(spark, sf_dir))
-
-
-def q_media_features(spark, sf_dir):
-    from osm_lib_spark.operators.multimodal import decode_media_features
-
-    return decode_media_features(_docs(spark, sf_dir))
-
-
-def q_media_resize(spark, sf_dir):
-    """Image-resize plumbing (stub decode, real mapInPandas batching):
-    target geometry + deterministic resized-content signature."""
-    from osm_lib_spark.operators.multimodal import resize_media
-
-    return resize_media(_docs(spark, sf_dir))
 
 
 def q_media_frames(spark, sf_dir):
@@ -573,6 +608,27 @@ def q_media_frames(spark, sf_dir):
     from osm_lib_spark.operators.multimodal import sample_frames
 
     return sample_frames(_docs(spark, sf_dir))
+
+
+def q_media_pipeline(spark, sf_dir):
+    """The three per-media 1:1 stages (catalog parse, feature 'decode',
+    resize) joined on the unique (doc_id, media_ref) key into ONE wide
+    gate row per media span — each stage keeps its own execution path
+    (pure-Column ref parsing vs the two mapInPandas batch kernels), so
+    the merged gate still exercises all three operators."""
+    from osm_lib_spark.operators.multimodal import (
+        decode_media_features,
+        media_catalog,
+        resize_media,
+    )
+
+    docs = _docs(spark, sf_dir)
+    key = ["doc_id", "media_ref"]
+    return (
+        media_catalog(docs)
+        .join(decode_media_features(docs), key)
+        .join(resize_media(docs), key)
+    )
 
 
 def q_osc_merge(spark, sf_dir):
@@ -723,21 +779,6 @@ def q_tpch_q1_lite(spark, sf_dir):
     )
 
 
-def q_tpch_join_lite(spark, sf_dir):
-    """3-way join shape: per-nation lineitem volume."""
-    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_nationkey")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
-        )
-    )
-
 
 def q_cells_multires(spark, sf_dir):
     """S2-style hierarchical cells: per z8 ancestor cell, the node count
@@ -766,9 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_entity_counts": q_entity_counts,
         "osm_way_tiles": q_way_tiles,
         "osm_intersections": q_intersections,
-        "osm_rel_members_by_node": _q_rel_members("node"),
-        "osm_rel_members_by_way": _q_rel_members("way"),
-        "osm_rel_members_by_relation": _q_rel_members("relation"),
+        "osm_rel_members": q_rel_members,
         "osm_roundtrip": q_roundtrip,
         "osm_tag_kv_stats": q_tag_kv_stats,
         "osm_knn": q_knn,
@@ -779,8 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_affected_tiles": q_affected_tiles,
         "osm_pip": q_pip,
     }
-    for b in ("dense", "wide", "world", "equator"):
-        qs[f"osm_bbox_extract_{b}"] = _q_extract(b)
+    qs["osm_bbox_extracts"] = q_bbox_extracts
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
@@ -790,9 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_curate": q_corpus_curate,
             "text_scrub": q_text_scrub,
             "events_sessionize": q_events_sessionize,
-            "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+            "events_sessionize_stream": q_events_sessionize_stream,
+            "dedup_simhash_pairs": q_dedup_simhash_pairs,
+            "dedup_simhash_hamming": q_dedup_simhash_hamming,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "text_tokens": q_text_tokens,
             "text_quality": q_text_quality,
@@ -803,10 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_topk": q_ann_ivf,
             "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
             "ann_pq_topk": q_ann_pq,
+            "ann_ivf_pq_topk": q_ann_ivf_pq,
             "emb_dup_pairs": q_emb_dup_pairs,
-            "media_catalog": q_media_catalog,
-            "media_features": q_media_features,
-            "media_resize": q_media_resize,
+            "media_pipeline": q_media_pipeline,
             "media_frames": q_media_frames,
             "osc_merge": q_osc_merge,
             "codec_delta_roundtrip": q_delta_roundtrip,
@@ -817,9 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "osm_ways_resolved": q_ways_resolved,
             "events_window_counts": q_events_window_counts,
             "tpch_q1_lite": q_tpch_q1_lite,
-            "tpch_join_lite": q_tpch_join_lite,
         }
     )
+    assert len(qs) == 50, f"gate registry must stay at exactly 50, got {len(qs)}"
     return qs
 
 
@@ -953,17 +990,29 @@ def _lsh_cte(fold_dot) -> str:
 
 
 
-def _pq_oracle_sql() -> str:
-    """Full IVF-PQ oracle: retrains the per-subspace codebooks from
+def _pq_oracle_sql(ivf: bool = False) -> str:
+    """Full PQ oracle: retrains the per-subspace codebooks from
     scratch (stride init + ONE quantized-integer Lloyd step — order-
     independent means, so SQL matches the Spark training bit-for-bit),
     re-encodes every vector, rebuilds the per-query ADC lookup tables,
     and reproduces the shortlist + exact-L2 rerank with vec_id
     tie-breaks. The ADC sum folds left in subspace order via
-    list_reduce so even the 4-term float addition order matches."""
+    list_reduce so even the 4-term float addition order matches.
+
+    With ``ivf=True`` the composed ivf_pq_topk pipeline is retrained
+    instead: the stride-centroid IVF index is ALSO rebuilt in SQL
+    (argmax-cosine assignment, top-nprobe probe lists per query, same
+    fold kernels as ann_ivf_topk's oracle) and the ADC scan is
+    restricted to vectors whose assigned list is probed by the query."""
     from osm_lib_spark.functions.hashing import l2_fold_sql
 
     M, SUB, K, STRIDE, NQ, REFINE, KTOP, QUANT = 4, 16, 16, 31, 10, 50, 10, 1 << 20
+    NLIST, NPROBE = 16, 4
+    fold_dot = (
+        lambda a, b: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
 
     def sub_union(table_from: str, slice_other: str) -> str:
         blocks = []
@@ -979,8 +1028,37 @@ def _pq_oracle_sql() -> str:
 
     d0 = sub_union("cent0", "c.embedding[{lo}:{hi}]")
     d1 = sub_union("cb1", "c.ce")
+    ivf_ctes = f"""
+        ivfcent AS (
+            SELECT CAST(vec_id // {STRIDE} AS INT) AS list_id, embedding AS ce
+            FROM embeddings WHERE vec_id % {STRIDE} = 0 AND vec_id < {NLIST * STRIDE}
+        ),
+        ivfascore AS (
+            SELECT e.vec_id, c.list_id,
+                {fold_dot('e.embedding', 'c.ce')} / (sqrt({fold_dot('e.embedding', 'e.embedding')}) * sqrt({fold_dot('c.ce', 'c.ce')})) AS ccos
+            FROM embeddings e CROSS JOIN ivfcent c
+        ),
+        ivfassign AS (
+            SELECT vec_id, list_id FROM ivfascore
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) = 1
+        ),
+        ivfprobes AS (
+            SELECT vec_id AS query_id, list_id FROM ivfascore WHERE vec_id < {NQ}
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) <= {NPROBE}
+        ),"""
+    if ivf:
+        adcp_from = f"""
+            FROM codes1 c
+            JOIN ivfassign a ON a.vec_id = c.vec_id
+            JOIN ivfprobes p ON p.list_id = a.list_id
+            JOIN lut l ON l.s = c.s AND l.code = c.code AND l.query_id = p.query_id
+            WHERE c.vec_id != p.query_id"""
+    else:
+        adcp_from = """
+            FROM codes1 c JOIN lut l ON l.s = c.s AND l.code = c.code
+            WHERE c.vec_id != l.query_id"""
     return f"""
-        WITH cent0 AS (
+        WITH {ivf_ctes if ivf else ""} cent0 AS (
             SELECT CAST(vec_id // {STRIDE} AS INT) AS cid, embedding
             FROM embeddings WHERE vec_id % {STRIDE} = 0 AND vec_id < {K * STRIDE}
         ),
@@ -1019,8 +1097,7 @@ def _pq_oracle_sql() -> str:
             SELECT l.query_id, c.vec_id,
                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.s)),
                                (a, x) -> a + x) AS adc
-            FROM codes1 c JOIN lut l ON l.s = c.s AND l.code = c.code
-            WHERE c.vec_id != l.query_id
+            {adcp_from}
             GROUP BY 1, 2
         ),
         shortlist AS (
@@ -1083,16 +1160,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "osm_pip": f"SELECT poly_id, node_id FROM read_parquet('{G}/pip.parquet')",
     }
-    for key, mtype in (("node", "NODE"), ("way", "WAY"), ("relation", "RELATION")):
-        out[f"osm_rel_members_by_{key}"] = (
-            "SELECT CAST(split_part(m, ':', 2) AS BIGINT) AS member_id, id AS relation_id FROM ("
-            f"  SELECT id, unnest(string_split(members_str, '|')) AS m FROM read_parquet('{G}/relations.parquet')"
-            f") WHERE split_part(m, ':', 1) = '{mtype}'"
-        )
-    for b in ("dense", "wide", "world", "equator"):
-        out[f"osm_bbox_extract_{b}"] = (
-            f"SELECT entity_type, id FROM read_parquet('{G}/extract_{b}.parquet')"
-        )
+    out["osm_rel_members"] = (
+        "SELECT lower(split_part(m, ':', 1)) AS member_type, "
+        "CAST(split_part(m, ':', 2) AS BIGINT) AS member_id, id AS relation_id FROM ("
+        f"  SELECT id, unnest(string_split(members_str, '|')) AS m FROM read_parquet('{G}/relations.parquet')"
+        ") WHERE split_part(m, ':', 1) IN ('NODE', 'WAY', 'RELATION')"
+    )
+    out["osm_bbox_extracts"] = " UNION ALL ".join(
+        f"SELECT '{b}' AS bbox, entity_type, id FROM read_parquet('{G}/extract_{b}.parquet')"
+        for b in ("dense", "wide", "world", "equator")
+    )
     # kNN: REAL SQL brute force with embedded query points (haversine)
     pts_values = ", ".join(
         f"({int(q)}, {lat!r}, {lon!r})" for q, lat, lon in meta["knn_points"]
@@ -1227,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_components": _dedup_components_oracle_sql(shingle_cte),
             "ann_pq_topk": _pq_oracle_sql(),
+            "ann_ivf_pq_topk": _pq_oracle_sql(ivf=True),
             "text_scrub": __import__("osm_lib_spark.operators.text", fromlist=["scrub_text_sql"]).scrub_text_sql("documents"),
             # end-to-end curation: the components + quality oracles run
             # as subqueries, the sampling hash rule inline — fully
@@ -1269,13 +1347,33 @@ def oracle_sql() -> dict[str, str]:
                        MAX(us) - MIN(us) AS span_us
                 FROM sess GROUP BY 1, 2
             """,
-            "dedup_simhash": f"""
-                SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
-                    CASE WHEN list_sum(list_transform(
-                        list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> {h15}),
-                        h -> ((h >> j) & 1) * 2 - 1)) > 0
-                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
-                FROM documents
+            # the streaming stateful path emits exactly the batch result
+            # minus each user's LAST (still-open) session
+            "events_sessionize_stream": """
+                WITH e AS (
+                    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+                ),
+                flags AS (
+                    SELECT user_id, event_id, us,
+                        CASE WHEN lag(us) OVER w IS NULL THEN 1
+                             WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                             ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+                ),
+                sess AS (
+                    SELECT user_id, us,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+                    FROM flags
+                ),
+                batch AS (
+                    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                           COUNT(*) AS n_events,
+                           MAX(us) - MIN(us) AS span_us
+                    FROM sess GROUP BY 1, 2
+                )
+                SELECT user_id, session_seq, n_events, span_us FROM batch
+                QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
             """,
             # bucket self-join over the same SQL-recomputed fingerprints
             # (equal 8-hex-prefix = simhash >> 28)
@@ -1568,13 +1666,6 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_items
                 FROM lineitem GROUP BY 1, 2
             """,
-            "tpch_join_lite": """
-                SELECT c_nationkey, count(*) AS n_items,
-                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                GROUP BY 1
-            """,
             "cells_multires": f"""
                 WITH pts AS (
                     SELECT CAST(floor((fixed_lon/1e7 + 180.0)/360.0 * 4096.0) AS BIGINT) AS x12,
@@ -1589,24 +1680,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cell8, count(*) AS n_nodes, count(DISTINCT c12) AS n_cells12
                 FROM cells GROUP BY cell8
             """,
-            "media_catalog": f"""
+            # the three 1:1 per-media stages recomputed in one SELECT
+            # (everything derives deterministically from media_ref)
+            "media_pipeline": f"""
                 SELECT doc_id, (s).media_ref AS media_ref,
                        split_part((s).media_ref, '://', 1) AS scheme,
                        split_part(split_part((s).media_ref, '://', 2), '/', 1) AS media_kind,
                        CAST(split_part(split_part((s).media_ref, '://', 2), '/', 2) AS BIGINT) AS media_id,
-                       substr(md5((s).media_ref), 1, 16) AS sig
-                FROM {_SPANS} WHERE (s).kind = 'media'
-            """,
-            "media_features": f"""
-                SELECT doc_id, (s).media_ref AS media_ref,
+                       substr(md5((s).media_ref), 1, 16) AS sig,
                        CAST(('0x' || substr(md5((s).media_ref || '#0'), 1, 8)) AS BIGINT) AS f0,
                        CAST(('0x' || substr(md5((s).media_ref || '#1'), 1, 8)) AS BIGINT) AS f1,
                        CAST(('0x' || substr(md5((s).media_ref || '#2'), 1, 8)) AS BIGINT) AS f2,
-                       CAST(('0x' || substr(md5((s).media_ref || '#3'), 1, 8)) AS BIGINT) AS f3
-                FROM {_SPANS} WHERE (s).kind = 'media'
-            """,
-            "media_resize": f"""
-                SELECT doc_id, (s).media_ref AS media_ref,
+                       CAST(('0x' || substr(md5((s).media_ref || '#3'), 1, 8)) AS BIGINT) AS f3,
                        CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
                        CAST(('0x' || substr(md5((s).media_ref || '@224x224'), 1, 15)) AS BIGINT) AS resized_sig
                 FROM {_SPANS} WHERE (s).kind = 'media'

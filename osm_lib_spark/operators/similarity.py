@@ -481,6 +481,89 @@ def _pq_train(embeddings: DataFrame, dim: int, m: int, kc: int) -> np.ndarray:
     return cb1
 
 
+def _pq_query_luts(
+    embeddings: DataFrame, cb: np.ndarray, n_queries: int, m: int, sub: int
+) -> DataFrame:
+    """(query_id, q_emb, lut): per-query ADC lookup tables built
+    DRIVER-SIDE over the collected query vectors (bounded control
+    collect — queries are the small side by contract). lut[s][j] is the
+    L2 between the query's s-th subvector and codebook entry (s, j),
+    via the same ``l2_fold_np`` kernel the oracle's SQL fold mirrors."""
+    from osm_lib_spark.functions.hashing import l2_fold_np
+
+    q_rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for qid, vec in q_rows:
+        qv = np.asarray(vec, dtype=np.float64)
+        lut = [
+            [float(l2_fold_np(qv[s * sub : (s + 1) * sub].reshape(1, -1), cb[s, j])[0]) for j in range(cb.shape[1])]
+            for s in range(m)
+        ]
+        probe_rows.append((qid, [float(v) for v in vec], lut))
+    return embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, q_emb array<double>, lut array<array<double>>"
+    )
+
+
+def _pq_adc_rerank(
+    embeddings: DataFrame,
+    scan: DataFrame,
+    probes: DataFrame,
+    m: int,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared PQ query tail: ADC-score a code-only candidate frame,
+    window-select the top ``refine`` per query, broadcast-join the tiny
+    shortlist back onto the corpus for the exact-L2 rerank.
+
+    ``scan`` must carry (query_id, vec_id, codes) ONLY — M ints per row
+    through the per-query window shuffle, never the dim·8-byte
+    embedding array. Full vectors are read again just for the
+    ≤refine·Q finalists."""
+    from osm_lib_spark.functions.hashing import l2_fold_col
+
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.col("codes").getItem(s) + 1
+        )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    shortlist = (
+        scan.join(F.broadcast(probes.select("query_id", "lut")), "query_id")
+        .withColumn("adc", adc)
+        .select("query_id", "vec_id", "adc")
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= refine)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        embeddings.select("vec_id", "embedding")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(probes.select("query_id", "q_emb")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_fold_col(F.col("embedding"), F.col("q_emb")).alias("l2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -507,58 +590,68 @@ def pq_topk(
     ``ivf_topk``'s list assignment) — the dataflow here is the inner
     PQ scan + rerank of that standard pipeline.
     """
-    from osm_lib_spark.functions.hashing import l2_fold_col, l2_fold_np
-
     dim = _dim_of(embeddings, dim)
     sub = dim // m
     cb = _pq_train(embeddings, dim, m, kc)
     coded = embeddings.select(
-        "vec_id", "embedding", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
+        "vec_id", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
     )
-    q_rows = sorted(
-        (int(r["vec_id"]), list(r["embedding"]))
-        for r in embeddings.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
+    probes = _pq_query_luts(embeddings, cb, n_queries, m, sub)
+    # Scan phase is CODE-ONLY (see _pq_adc_rerank): the N×Q candidate
+    # frame carries (query_id, vec_id, codes), never the embedding.
+    scan = coded.crossJoin(F.broadcast(probes.select("query_id"))).where(
+        F.col("vec_id") != F.col("query_id")
     )
-    probe_rows = []
-    for qid, vec in q_rows:
-        qv = np.asarray(vec, dtype=np.float64)
-        lut = [
-            [float(l2_fold_np(qv[s * sub : (s + 1) * sub].reshape(1, -1), cb[s, j])[0]) for j in range(cb.shape[1])]
-            for s in range(m)
-        ]
-        probe_rows.append((qid, [float(v) for v in vec], lut))
-    probes = embeddings.sparkSession.createDataFrame(
-        probe_rows, "query_id long, q_emb array<double>, lut array<array<double>>"
+    return _pq_adc_rerank(embeddings, scan, probes, m, k, refine)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    refine: int = PQ_REFINE,
+    dim: int | None = None,
+) -> DataFrame:
+    """The standard IVF∘PQ pipeline ``pq_topk``'s docstring promises:
+    coarse IVF list assignment (map-only argmax over broadcast stride
+    centroids, as in ``ivf_topk``) in FRONT of the PQ ADC scan, so the
+    code scan touches only the ``nprobe/nlist`` probed fraction of the
+    corpus instead of all N codes — then the shared exact-L2 rerank of
+    the top ``refine`` ADC candidates per query.
+
+    Plan shape at 100 TB: corpus never shuffles (assignment and PQ
+    encoding are row-local over broadcast centroids/codebooks); the
+    probe table (n_queries·nprobe rows) broadcast-joins on list_id; the
+    only wide exchange is the per-query top-``refine`` window over
+    code-only rows of the probed fraction. Memory per candidate row is
+    M ints, a dim·8/M compression of the brute scan.
+
+    Both the IVF index (stride centroids) and the PQ codebooks (stride
+    init + one quantized Lloyd step) are deterministically trainable,
+    so the DuckDB oracle retrains the ENTIRE composed index from
+    scratch and must agree bit-for-bit.
+    """
+    dim = _dim_of(embeddings, dim)
+    sub = dim // m
+    cents = _collect_cents(_stride_centroids(embeddings, nlist))
+    cb = _pq_train(embeddings, dim, m, kc)
+    coded = _assign_local(embeddings, cents).select(
+        "vec_id", "list_id", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
     )
-    cands = coded.crossJoin(F.broadcast(probes)).where(F.col("vec_id") != F.col("query_id"))
-    adc = F.lit(0.0)
-    for s in range(m):
-        adc = adc + F.element_at(
-            F.element_at(F.col("lut"), s + 1), F.col("codes").getItem(s) + 1
-        )
-    w1 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-    shortlist = (
-        cands.withColumn("adc", adc)
-        .withColumn("r1", F.row_number().over(w1))
-        .where(F.col("r1") <= refine)
+    probes = _pq_query_luts(embeddings, cb, n_queries, m, sub)
+    plists = _probe_lists(embeddings, cents, n_queries, nprobe).select(
+        "query_id", "list_id"
     )
-    exact = shortlist.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        l2_fold_col(F.col("embedding"), F.col("q_emb")).alias("l2"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("neighbor_id").asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("rank").cast("long").alias("rank"),
-            "neighbor_id",
-        )
-    )
+    # each vector lives in exactly one list and probes are distinct per
+    # (query, list), so the join yields each (query, vec) at most once
+    scan = coded.join(F.broadcast(plists), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", "codes")
+    return _pq_adc_rerank(embeddings, scan, probes, m, k, refine)
 
 
 def embedding_dup_pairs(
