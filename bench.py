@@ -99,9 +99,18 @@ def run_suite(spark, sf_dir: str) -> dict:
     nodes = parse_nodes(docs).repartition(width, "id").cache()
     ways = parse_ways(docs).repartition(width, "id").cache()
     relations = parse_relations(docs).repartition(width, "id").cache()
-    n_nodes = nodes.count()
-    n_ways = ways.count()
-    relations.count()
+    # materialize the three caches as CONCURRENT jobs: the parses are
+    # independent DAGs over the same source, and sequential submission
+    # left the cluster idle through each job's straggler tail (measured
+    # 3.9s → 2.2s at sf0.1/local[32]; the span-cache single-scan
+    # variant stays a negative result even threaded — PLANS.md §10)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        n_nodes_f = ex.submit(nodes.count)
+        n_ways_f = ex.submit(ways.count)
+        rel_f = ex.submit(relations.count)
+        n_nodes, n_ways, _ = n_nodes_f.result(), n_ways_f.result(), rel_f.result()
     timings["parse_entities"] = time.time() - t0
 
     t0 = time.time()

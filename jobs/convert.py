@@ -84,8 +84,8 @@ def _speed_cols(csv_path: str) -> tuple[str, str]:
     return header[0], header[1]
 
 
-def _write_txt(path: str, ents) -> int:
-    """TextOutput.java format: distributed line render, streamed write."""
+def _write_txt(path: str, ents) -> None:
+    """TextOutput.java format: distributed line render, composed write."""
     from pyspark.sql import functions as F
 
     from osm_lib_spark.functions.tags import render_tags
@@ -120,16 +120,28 @@ def _write_txt(path: str, ents) -> int:
         .when(F.col("entity_type") == "way", 1)
         .otherwise(2)
     )
+    # parallel part-file compose (same shape as the PBF/VEX sinks,
+    # pbf.compose_blob_frame): orderBy range-partitions the lines in
+    # global (rank, id) order, every partition writes its own part,
+    # the driver concatenates — the old toLocalIterator wrote the whole
+    # file serially on the driver (one job per partition, serial IO)
+    import pandas as pd
+
+    from osm_lib_spark.sources.pbf import compose_blob_frame
+
     ordered = ents.select(rank.alias("r"), "id", line.alias("line")).orderBy("r", "id")
-    n = 0
-    with open(path, "w") as f:
-        f.write("--- BEGINNING OF OSM TEXT OUTPUT ---\n")
-        for row in ordered.toLocalIterator():
-            f.write(row.line)
-            f.write("\n")
-            n += 1
-        f.write("--- END OF OSM TEXT OUTPUT ---")
-    return n
+
+    def to_blobs(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"blob": [("\n".join(pdf["line"]) + "\n").encode("utf-8")]}
+                )
+
+    blobs = ordered.mapInPandas(to_blobs, "blob binary")
+    compose_blob_frame(blobs, path, header=b"--- BEGINNING OF OSM TEXT OUTPUT ---\n")
+    with open(path, "ab") as f:
+        f.write(b"--- END OF OSM TEXT OUTPUT ---")
 
 
 def main(argv=None) -> int:
@@ -151,19 +163,19 @@ def main(argv=None) -> int:
     if args.set_tags:
         ents = _apply_speeds(spark, ents, args.set_tags, args.tag_key, args.tag_format)
 
+    ents = ents.cache()
     if out_fmt == "txt":
-        n = _write_txt(args.output, ents)
+        _write_txt(args.output, ents)
     else:
         from osm_lib_spark.sources.pbf import pbf_nodes, pbf_relations, pbf_ways
 
-        ents = ents.cache()
         if out_fmt == "pbf":
             from osm_lib_spark.sources.pbf import write_pbf as write_file
         else:
             from osm_lib_spark.sources.vex import write_vex as write_file
         write_file(args.output, pbf_nodes(ents), pbf_ways(ents), pbf_relations(ents))
-        n = ents.count()
-        ents.unpersist()
+    n = ents.count()
+    ents.unpersist()
     print(
         json.dumps(
             {
