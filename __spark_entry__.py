@@ -770,13 +770,13 @@ def q_events_window_counts(spark, sf_dir):
     )
 
 
-def q_tpch_q1_lite(spark, sf_dir):
-    """Relational sanity (TPC-H Q1 shape, exact-arithmetic columns)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").cast("long").alias("sum_qty"),
-        F.count("*").alias("n_items"),
-    )
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the documents table: docs with
+    doc_id % 97 == 0 form the synthetic eval set; every remaining
+    corpus doc reports its distinct shared-shingle count and flag."""
+    from osm_lib_spark.operators.decontaminate import decontaminate
+
+    return decontaminate(_documents(spark, sf_dir))
 
 
 
@@ -853,7 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cells_multires": q_cells_multires,
             "osm_ways_resolved": q_ways_resolved,
             "events_window_counts": q_events_window_counts,
-            "tpch_q1_lite": q_tpch_q1_lite,
+            "decontaminate": q_decontaminate,
         }
     )
     assert len(qs) == 50, f"gate registry must stay at exactly 50, got {len(qs)}"
@@ -1660,11 +1660,20 @@ def oracle_sql() -> dict[str, str]:
                        event_type, count(*) AS n
                 FROM events GROUP BY 1, 2
             """,
-            "tpch_q1_lite": """
-                SELECT l_returnflag, l_linestatus,
-                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-                       count(*) AS n_items
-                FROM lineitem GROUP BY 1, 2
+            # independent recomputation over the shared shingle CTE:
+            # eval split by doc_id mod, distinct-shingle semi overlap
+            "decontaminate": f"""
+                WITH {shingle_cte}
+                , eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+                hits AS (
+                    SELECT sh.doc_id, COUNT(*) AS n_shared
+                    FROM sh JOIN eval_sh USING (shingle)
+                    WHERE sh.doc_id % 97 != 0 GROUP BY 1
+                )
+                SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                       CAST(COALESCE(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
+                FROM documents d LEFT JOIN hits h USING (doc_id)
+                WHERE d.doc_id % 97 != 0
             """,
             "cells_multires": f"""
                 WITH pts AS (

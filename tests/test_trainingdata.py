@@ -323,3 +323,26 @@ def test_scrub_text_hand_computed(spark):
         2: ("<URL> end", 1, 0),
         3: ("plain text here", 0, 0),
     }
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from osm_lib_spark.operators.decontaminate import decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta"),                 # eval (0 % 97 == 0)
+        (97, "totally separate eval sentence here"),   # eval
+        (1, "alpha beta gamma delta epsilon"),         # shares 2 shingles w/ doc 0
+        (2, "unrelated corpus text with no overlap"),
+        (3, "totally separate eval sentence here"),    # exact copy of an eval doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shared, r.contaminated) for r in decontaminate(docs).collect()}
+    assert set(got) == {1, 2, 3}  # eval docs never appear in the output
+    assert got[1] == (2, 1)  # "alpha beta gamma", "beta gamma delta"
+    assert got[2] == (0, 0)
+    assert got[3] == (3, 1)  # all 3 shingles of the exact eval copy
+
+    # explicit benchmark table: whole documents frame is the corpus
+    eval_df = spark.createDataFrame([(100, "alpha beta gamma delta")], "doc_id long, text string")
+    got2 = {r.doc_id: r.contaminated for r in decontaminate(docs, eval_docs=eval_df).collect()}
+    assert got2[0] == 1 and got2[1] == 1 and got2[2] == 0
