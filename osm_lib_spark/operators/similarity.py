@@ -586,9 +586,9 @@ def pq_topk(
     agree bit-for-bit; every ordering tie-breaks on vec_id.
 
     Sizing at real scale: M=8..16, K=256 (byte codes), trained on a
-    sample, with an IVF coarse stage in front (compose with
-    ``ivf_topk``'s list assignment) — the dataflow here is the inner
-    PQ scan + rerank of that standard pipeline.
+    sample, with an IVF coarse stage in front — ``ivf_pq_topk`` IS that
+    composed standard pipeline; this operator is its inner full-corpus
+    PQ scan + rerank.
     """
     dim = _dim_of(embeddings, dim)
     sub = dim // m

@@ -346,3 +346,22 @@ def test_decontaminate_flags_eval_overlap(spark):
     eval_df = spark.createDataFrame([(100, "alpha beta gamma delta")], "doc_id long, text string")
     got2 = {r.doc_id: r.contaminated for r in decontaminate(docs, eval_docs=eval_df).collect()}
     assert got2[0] == 1 and got2[1] == 1 and got2[2] == 0
+
+
+def test_ivf_pq_full_probe_equals_pq(tiny_embeddings):
+    """ivf_pq_topk with nprobe == nlist probes every list, so its
+    candidate set (and therefore its ADC shortlist, tie-breaks
+    included) must equal plain pq_topk's full-corpus scan exactly."""
+    import pandas as pd
+
+    from osm_lib_spark.operators.similarity import IVF_NLIST, ivf_pq_topk, pq_topk
+
+    got_pq = pq_topk(tiny_embeddings, k=5, n_queries=5).toPandas()
+    got_ivf_pq = ivf_pq_topk(
+        tiny_embeddings, k=5, n_queries=5, nprobe=IVF_NLIST
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got_ivf_pq.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        got_pq.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
