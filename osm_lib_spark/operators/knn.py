@@ -256,10 +256,11 @@ def knn_kring(
     nodes: DataFrame,
     query_points: list[tuple[int, float, float]],
     k: int = 10,
-    initial_ring: int = 1,
+    initial_ring: int | None = None,
     max_ring: int = NTILES,
     tiled: DataFrame | None = None,
     strip_switch: int = STRIP_SWITCH_ROWS,
+    est_n_nodes: int | None = None,
 ) -> DataFrame:
     """Exact kNN via batched iterative k-ring expansion.
 
@@ -276,8 +277,27 @@ def knn_kring(
     (Q·(2r+1) growth — thousands of queries with wide rings) switch to
     the coarse-cell ancestor equi-join (``_coarse_cell_candidates``):
     O(Q) broadcast rows regardless of radius, same exact results.
+
+    ``initial_ring``: starting Chebyshev radius; None (default) derives
+    it from global node density when ``est_n_nodes`` is supplied —
+    r₀ such that a uniform corpus puts ~2k nodes in the first ring —
+    else 1. Each expansion round is a fixed Spark job, so starting near
+    the expected terminal radius removes whole rounds; EXACTNESS is
+    untouched (termination is gated by the ring distance bound, and an
+    overshot first ring just scans a few more tiles). Callers that know
+    the corpus size (benches, serving layers with table stats) should
+    pass ``est_n_nodes``.
     """
     spark = nodes.sparkSession
+    if initial_ring is None:
+        if est_n_nodes and est_n_nodes > 0:
+            density = est_n_nodes / float(NTILES * NTILES)  # nodes per tile
+            initial_ring = min(
+                max(int(math.ceil((math.sqrt(2.0 * k / max(density, 1e-12)) - 1.0) / 2.0)), 1),
+                64,
+            )
+        else:
+            initial_ring = 1
     own_cache = tiled is None
     coords = tiled_node_store(nodes).cache() if own_cache else tiled
 

@@ -64,6 +64,16 @@ def test_knn_kring_matches_brute_force(nodes_xs, meta_xs):
 
     pd.testing.assert_frame_equal(brute, ring, check_dtype=False)
 
+    # density-derived initial ring (est_n_nodes) must be EXACTLY equal
+    # too — the start radius only moves rounds, never the bound
+    ring_r0 = (
+        knn_kring(nodes_xs, pts, k=10, est_n_nodes=nodes_xs.count())
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, ring_r0, check_dtype=False)
+
 
 def test_ring_bound_is_lower_bound_high_lat():
     """_min_dist_beyond_ring must LOWER-bound the distance to every
