@@ -71,6 +71,29 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
     ).cast("long")
     mean_wlen_x10 = F.when(n_words > 0, (n_chars * 10) / n_words).otherwise(0).cast("long")
+    # repetition signals (Gopher-style filters, ×1000 integers so both
+    # engines stay float-free): fraction of repeated words, fraction of
+    # repeated word 2-grams. Both are O(tokens) set operations — the
+    # map-only shape survives any corpus size. is_quality deliberately
+    # EXCLUDES them (corpus_curate's oracle composes on the original
+    # gate); downstream filters threshold the columns directly.
+    n_distinct_words = F.size(F.array_distinct(toks)).cast("long")
+    dup_word_x1000 = (
+        F.when(n_words > 0, ((n_words - n_distinct_words) * 1000) / n_words)
+        .otherwise(0)
+        .cast("long")
+    )
+    from osm_lib_spark.operators.dedup import shingles_col
+
+    n_distinct_2grams = F.size(shingles_col(F.col(text_col), 2)).cast("long")
+    dup_2gram_x1000 = (
+        F.when(
+            n_words >= 2,
+            (((n_words - 1) - n_distinct_2grams) * 1000) / (n_words - 1),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
     is_quality = (
         (n_words >= 5)
         & (n_words <= 10000)
@@ -85,6 +108,8 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         n_stop.alias("n_stop"),
         n_punct.alias("n_punct"),
         mean_wlen_x10.alias("mean_wlen_x10"),
+        dup_word_x1000.alias("dup_word_x1000"),
+        dup_2gram_x1000.alias("dup_2gram_x1000"),
         is_quality.alias("is_quality"),
     )
 
@@ -152,6 +177,7 @@ def quality_scores_sql(table: str = "documents") -> str:
     WITH t AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
+               regexp_split_to_array(trim(text), '\\s+') AS tk,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
                CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                     x -> lower(x) IN ({_sql_in_list(STOPWORDS_EN)}))) AS BIGINT) AS n_stop,
@@ -160,6 +186,14 @@ def quality_scores_sql(table: str = "documents") -> str:
     )
     SELECT doc_id, n_chars, n_words, n_stop, n_punct,
            CAST(CASE WHEN n_words > 0 THEN (n_chars * 10) // n_words ELSE 0 END AS BIGINT) AS mean_wlen_x10,
+           CAST(CASE WHEN n_words > 0
+                 THEN ((n_words - len(list_distinct(tk))) * 1000) // n_words
+                 ELSE 0 END AS BIGINT) AS dup_word_x1000,
+           CAST(CASE WHEN n_words >= 2
+                 THEN (((n_words - 1) - len(list_distinct(list_transform(
+                        generate_series(0, greatest(len(tk) - 2, 0)),
+                        i -> array_to_string(tk[i+1:i+2], ' '))))) * 1000) // (n_words - 1)
+                 ELSE 0 END AS BIGINT) AS dup_2gram_x1000,
            CAST(CASE WHEN n_words >= 5 AND n_words <= 10000
                  AND (n_chars * 10) // n_words BETWEEN 20 AND 120
                  AND n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_quality

@@ -99,6 +99,10 @@ def test_text_ops_hand_checked(tiny_docs):
     assert q[1].n_words == 9 and q[1].n_stop == 2  # 'the' twice
     assert q[1].is_quality == 1
     assert q[6].is_quality == 0  # too short
+    # repetition: doc 1 repeats 'the' (9 words, 8 distinct → 111‰);
+    # its 8 word-2-grams are all distinct → 0‰
+    assert q[1].dup_word_x1000 == 111 and q[1].dup_2gram_x1000 == 0
+    assert q[6].dup_word_x1000 == 0 and q[6].dup_2gram_x1000 == 0  # 1 word
 
     lang = {r.doc_id: r.pred_lang for r in lang_id(tiny_docs).collect()}
     assert lang[1] == "en"
