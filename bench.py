@@ -250,6 +250,9 @@ def run_suite(spark, sf_dir: str) -> dict:
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(width)
     timed_warm("events_sessionize", lambda: sessionize(events))
     timed_warm("text_fingerprint", lambda: fingerprints(documents))
+    from osm_lib_spark.operators.decontaminate import decontaminate
+
+    timed_warm("decontaminate", lambda: decontaminate(documents))
     timed_warm("ann_cosine_topk", lambda: cosine_topk(embeddings))
     timed_warm("ann_lsh_topk", lambda: ann_lsh_topk(embeddings))
     timed_warm("ann_ivf_topk", lambda: ivf_topk(embeddings))
