@@ -583,13 +583,15 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 
 
 def q_ann_ivf_pq(spark, sf_dir):
-    """The composed IVF∘PQ standard pipeline: map-only coarse list
-    assignment in FRONT of the code-only PQ ADC scan (only the probed
-    nprobe/nlist fraction of codes is scanned), shared exact-L2 rerank.
-    The oracle retrains BOTH index stages from scratch in SQL."""
+    """The composed IVF∘PQ standard pipeline in its textbook RESIDUAL
+    form (FAISS IVFPQ): Lloyd-refined coarse quantizer, PQ codebooks
+    trained on float64 residuals to the assigned centroid, one ADC LUT
+    per (query, probed list), code-only scan over the probed fraction,
+    shared exact-L2 rerank. The oracle retrains BOTH index stages from
+    scratch in SQL (coarse k-means step + residual codebooks)."""
     from osm_lib_spark.operators.similarity import ivf_pq_topk
 
-    return ivf_pq_topk(_embeddings(spark, sf_dir))
+    return ivf_pq_topk(_embeddings(spark, sf_dir), residual=True)
 
 
 def q_emb_dup_pairs(spark, sf_dir):
@@ -990,7 +992,7 @@ def _lsh_cte(fold_dot) -> str:
 
 
 
-def _pq_oracle_sql(ivf: bool = False) -> str:
+def _pq_oracle_sql(ivf: bool = False, residual: bool = False) -> str:
     """Full PQ oracle: retrains the per-subspace codebooks from
     scratch (stride init + ONE quantized-integer Lloyd step — order-
     independent means, so SQL matches the Spark training bit-for-bit),
@@ -1003,16 +1005,28 @@ def _pq_oracle_sql(ivf: bool = False) -> str:
     instead: the stride-centroid IVF index is ALSO rebuilt in SQL
     (argmax-cosine assignment, top-nprobe probe lists per query, same
     fold kernels as ann_ivf_topk's oracle) and the ADC scan is
-    restricted to vectors whose assigned list is probed by the query."""
+    restricted to vectors whose assigned list is probed by the query.
+
+    With ``residual=True`` (implies the composed pipeline) the textbook
+    FAISS IVFPQ is retrained end-to-end: the coarse quantizer gets the
+    one quantized-integer Lloyd refinement (as in ann_ivf_kmeans's
+    oracle), every vector's PQ input is its float64 RESIDUAL against
+    the assigned refined centroid (exact list_zip subtraction), the
+    codebooks train on residuals, and each query builds one ADC LUT per
+    PROBED list from (q − c_list)."""
     from osm_lib_spark.functions.hashing import l2_fold_sql
 
     M, SUB, K, STRIDE, NQ, REFINE, KTOP, QUANT = 4, 16, 16, 31, 10, 50, 10, 1 << 20
     NLIST, NPROBE = 16, 4
+    DIM = M * SUB
+    ivf = ivf or residual
     fold_dot = (
         lambda a, b: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
         "(acc, x) -> acc + x)"
     )
+    # PQ training/encoding input: raw embeddings, or the residual frame
+    src = "pqin" if residual else "embeddings"
 
     def sub_union(table_from: str, slice_other: str) -> str:
         blocks = []
@@ -1021,21 +1035,73 @@ def _pq_oracle_sql(ivf: bool = False) -> str:
             blocks.append(
                 f"SELECT {s} AS s, e.vec_id, c.{'cid' if 'cent0' in table_from else 'code'} AS code, "
                 + l2_fold_sql(f"e.embedding[{lo}:{hi}]", slice_other.format(lo=lo, hi=hi))
-                + f" AS dist FROM embeddings e CROSS JOIN {table_from} c"
+                + f" AS dist FROM {src} e CROSS JOIN {table_from} c"
                 + (f" WHERE c.s = {s}" if "cb1" in table_from else "")
             )
         return " UNION ALL ".join(blocks)
 
     d0 = sub_union("cent0", "c.embedding[{lo}:{hi}]")
     d1 = sub_union("cb1", "c.ce")
-    ivf_ctes = f"""
+    cosine = lambda a, b: (
+        f"{fold_dot(a, b)} / (sqrt({fold_dot(a, a)}) * sqrt({fold_dot(b, b)}))"
+    )
+    if residual:
+        # coarse quantizer = stride init + ONE quantized Lloyd step
+        # (identical CTE chain to ann_ivf_kmeans_topk's oracle)
+        ivf_ctes = f"""
+        kcent0 AS (
+            SELECT CAST(vec_id // {STRIDE} AS INT) AS list_id, embedding AS ce
+            FROM embeddings WHERE vec_id % {STRIDE} = 0 AND vec_id < {NLIST * STRIDE}
+        ),
+        k0score AS (
+            SELECT e.vec_id, e.embedding, c.list_id, {cosine('e.embedding', 'c.ce')} AS ccos
+            FROM embeddings e CROSS JOIN kcent0 c
+        ),
+        k0assign AS (
+            SELECT vec_id, embedding, list_id FROM k0score
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) = 1
+        ),
+        ksums AS (
+            SELECT list_id, i AS pos,
+                   SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(QUANT)} + 0.5) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM k0assign, UNNEST(generate_series(1, {DIM})) AS t(i)
+            GROUP BY 1, 2
+        ),
+        ivfcent AS (
+            SELECT list_id,
+                   list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / {float(QUANT)} ORDER BY pos) AS ce
+            FROM ksums GROUP BY list_id
+        ),
+        ivfascore AS (
+            SELECT e.vec_id, c.list_id, {cosine('e.embedding', 'c.ce')} AS ccos
+            FROM embeddings e CROSS JOIN ivfcent c
+        ),
+        ivfassign AS (
+            SELECT vec_id, list_id FROM ivfascore
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) = 1
+        ),
+        ivfprobes AS (
+            SELECT vec_id AS query_id, list_id FROM ivfascore WHERE vec_id < {NQ}
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) <= {NPROBE}
+        ),
+        resid AS (
+            SELECT e.vec_id,
+                   list_transform(list_zip(e.embedding, c.ce),
+                                  p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+            FROM embeddings e
+            JOIN ivfassign a USING (vec_id)
+            JOIN ivfcent c ON c.list_id = a.list_id
+        ),
+        pqin AS (SELECT vec_id, r AS embedding FROM resid),"""
+    else:
+        ivf_ctes = f"""
         ivfcent AS (
             SELECT CAST(vec_id // {STRIDE} AS INT) AS list_id, embedding AS ce
             FROM embeddings WHERE vec_id % {STRIDE} = 0 AND vec_id < {NLIST * STRIDE}
         ),
         ivfascore AS (
-            SELECT e.vec_id, c.list_id,
-                {fold_dot('e.embedding', 'c.ce')} / (sqrt({fold_dot('e.embedding', 'e.embedding')}) * sqrt({fold_dot('c.ce', 'c.ce')})) AS ccos
+            SELECT e.vec_id, c.list_id, {cosine('e.embedding', 'c.ce')} AS ccos
             FROM embeddings e CROSS JOIN ivfcent c
         ),
         ivfassign AS (
@@ -1046,21 +1112,48 @@ def _pq_oracle_sql(ivf: bool = False) -> str:
             SELECT vec_id AS query_id, list_id FROM ivfascore WHERE vec_id < {NQ}
             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, list_id) <= {NPROBE}
         ),"""
-    if ivf:
-        adcp_from = f"""
+    if residual:
+        # per-(query, probed list) LUTs from the query's residual
+        # against THAT list's centroid
+        lut_blocks = " UNION ALL ".join(
+            f"SELECT {s} AS s, qres.query_id, qres.list_id, cb.code, "
+            + l2_fold_sql(f"qres.qr[{s * SUB + 1}:{(s + 1) * SUB}]", "cb.ce")
+            + f" AS dist FROM qres JOIN cb1 cb ON cb.s = {s}"
+            for s in range(M)
+        )
+        lut_cte = f"""
+        qres AS (
+            SELECT p.query_id, p.list_id,
+                   list_transform(list_zip(q.embedding, c.ce),
+                                  x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr
+            FROM ivfprobes p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN ivfcent c ON c.list_id = p.list_id
+        ),
+        lut AS ({lut_blocks}),"""
+        adcp_from = """
+            FROM codes1 c
+            JOIN ivfassign a ON a.vec_id = c.vec_id
+            JOIN lut l ON l.list_id = a.list_id AND l.s = c.s AND l.code = c.code
+            WHERE c.vec_id != l.query_id"""
+    else:
+        lut_cte = f"""
+        lut AS (SELECT s, vec_id AS query_id, code, dist FROM d1 WHERE vec_id < {NQ}),"""
+        if ivf:
+            adcp_from = f"""
             FROM codes1 c
             JOIN ivfassign a ON a.vec_id = c.vec_id
             JOIN ivfprobes p ON p.list_id = a.list_id
             JOIN lut l ON l.s = c.s AND l.code = c.code AND l.query_id = p.query_id
             WHERE c.vec_id != p.query_id"""
-    else:
-        adcp_from = """
+        else:
+            adcp_from = """
             FROM codes1 c JOIN lut l ON l.s = c.s AND l.code = c.code
             WHERE c.vec_id != l.query_id"""
     return f"""
         WITH {ivf_ctes if ivf else ""} cent0 AS (
             SELECT CAST(vec_id // {STRIDE} AS INT) AS cid, embedding
-            FROM embeddings WHERE vec_id % {STRIDE} = 0 AND vec_id < {K * STRIDE}
+            FROM {src} WHERE vec_id % {STRIDE} = 0 AND vec_id < {K * STRIDE}
         ),
         d0 AS ({d0}),
         a0 AS (
@@ -1071,7 +1164,7 @@ def _pq_oracle_sql(ivf: bool = False) -> str:
             SELECT a0.s, a0.code, i AS pos,
                    SUM(CAST(floor(CAST(e.embedding[a0.s * {SUB} + i] AS DOUBLE) * {float(QUANT)} + 0.5) AS BIGINT)) AS sm,
                    COUNT(*) AS n
-            FROM a0 JOIN embeddings e USING (vec_id), UNNEST(generate_series(1, {SUB})) AS t(i)
+            FROM a0 JOIN {src} e USING (vec_id), UNNEST(generate_series(1, {SUB})) AS t(i)
             GROUP BY 1, 2, 3
         ),
         grid AS (
@@ -1092,7 +1185,7 @@ def _pq_oracle_sql(ivf: bool = False) -> str:
             SELECT s, vec_id, code FROM d1
             QUALIFY row_number() OVER (PARTITION BY s, vec_id ORDER BY dist, code) = 1
         ),
-        lut AS (SELECT s, vec_id AS query_id, code, dist FROM d1 WHERE vec_id < {NQ}),
+        {lut_cte}
         adcp AS (
             SELECT l.query_id, c.vec_id,
                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dist ORDER BY l.s)),
@@ -1304,7 +1397,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_pairs": _minhash_oracle_sql(shingle_cte),
             "dedup_components": _dedup_components_oracle_sql(shingle_cte),
             "ann_pq_topk": _pq_oracle_sql(),
-            "ann_ivf_pq_topk": _pq_oracle_sql(ivf=True),
+            "ann_ivf_pq_topk": _pq_oracle_sql(residual=True),
             "text_scrub": __import__("osm_lib_spark.operators.text", fromlist=["scrub_text_sql"]).scrub_text_sql("documents"),
             # end-to-end curation: the components + quality oracles run
             # as subqueries, the sampling hash rule inline — fully

@@ -226,11 +226,44 @@ def _assign_local(embeddings: DataFrame, cents: list) -> DataFrame:
     )
 
 
-def _probe_lists(
+def _assign_residual(embeddings: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, list_id, residual): row-local argmax-cosine assignment
+    PLUS the float64 residual x − c_assigned, in ONE Arrow kernel (same
+    first-max/list_id-ASC tie-break as ``_assign_local``). Residual
+    subtraction is exact element-wise double arithmetic, so the DuckDB
+    oracle reproduces it bit-for-bit with list_zip subtraction."""
+    from osm_lib_spark.functions.hashing import dot_fold_np, norm_fold_np
+
+    list_ids = np.array([lid for lid, _ in cents], dtype=np.int32)
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cnorms = norm_fold_np(cmat)
+
+    @F.pandas_udf("list_id int, residual array<double>")
+    def assignr(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        norm_e = norm_fold_np(mat)
+        scores = np.empty((len(cnorms), mat.shape[0]), dtype=np.float64)
+        for j in range(len(cnorms)):
+            scores[j] = dot_fold_np(mat, cmat[j]) / (norm_e * cnorms[j])
+        idx = np.argmax(scores, axis=0)
+        res = mat - cmat[idx]
+        return pd.DataFrame(
+            {"list_id": list_ids[idx], "residual": [row.tolist() for row in res]}
+        )
+
+    return embeddings.select("vec_id", assignr(F.col("embedding")).alias("ar")).select(
+        "vec_id",
+        F.col("ar.list_id").alias("list_id"),
+        F.col("ar.residual").alias("residual"),
+    )
+
+
+def _probe_list_rows(
     embeddings: DataFrame, cents: list, n_queries: int, nprobe: int
-) -> DataFrame:
-    """(query_id, q_emb, list_id): the nprobe closest centroid lists per
-    query, computed DRIVER-SIDE over the collected query vectors.
+) -> tuple[list, list]:
+    """Driver-side probe selection: returns (q_rows, probe_pairs) with
+    q_rows = [(query_id, vec)] sorted and probe_pairs = [(query_id,
+    list_id, vec)] — the nprobe closest centroid lists per query.
 
     Queries are the small side by contract (they broadcast everywhere
     downstream), so collecting n_queries rows is a bounded control
@@ -258,10 +291,18 @@ def _probe_lists(
         ]
         scores.sort(key=lambda t: (-t[0], t[1]))
         for _, lid in scores[:nprobe]:
-            out.append((qid, lid, [float(v) for v in vec]))
-    spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        out, "query_id long, list_id int, q_emb array<double>"
+            out.append((qid, lid, vec))
+    return q_rows, out
+
+
+def _probe_lists(
+    embeddings: DataFrame, cents: list, n_queries: int, nprobe: int
+) -> DataFrame:
+    """(query_id, q_emb, list_id) DataFrame over ``_probe_list_rows``."""
+    _, pairs = _probe_list_rows(embeddings, cents, n_queries, nprobe)
+    return embeddings.sparkSession.createDataFrame(
+        [(qid, lid, [float(v) for v in vec]) for qid, lid, vec in pairs],
+        "query_id long, list_id int, q_emb array<double>",
     )
 
 
@@ -510,34 +551,36 @@ def _pq_query_luts(
     )
 
 
-def _pq_adc_rerank(
-    embeddings: DataFrame,
-    scan: DataFrame,
-    probes: DataFrame,
-    m: int,
-    k: int,
-    refine: int,
-) -> DataFrame:
-    """Shared PQ query tail: ADC-score a code-only candidate frame,
-    window-select the top ``refine`` per query, broadcast-join the tiny
-    shortlist back onto the corpus for the exact-L2 rerank.
-
-    ``scan`` must carry (query_id, vec_id, codes) ONLY — M ints per row
-    through the per-query window shuffle, never the dim·8-byte
-    embedding array. Full vectors are read again just for the
-    ≤refine·Q finalists."""
-    from osm_lib_spark.functions.hashing import l2_fold_col
-
+def _adc_expr(m: int):
+    """ADC column: left-fold sum over subspaces of lut[s][codes[s]] —
+    the float addition order matches the oracle's list_reduce."""
     adc = F.lit(0.0)
     for s in range(m):
         adc = adc + F.element_at(
             F.element_at(F.col("lut"), s + 1), F.col("codes").getItem(s) + 1
         )
+    return adc
+
+
+def _pq_rerank_tail(
+    embeddings: DataFrame,
+    scored: DataFrame,
+    qemb: DataFrame,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared PQ query tail: window-select the top ``refine`` ADC
+    candidates per query, broadcast-join the tiny shortlist back onto
+    the corpus for the exact-L2 rerank.
+
+    ``scored`` must carry (query_id, vec_id, adc) ONLY — no embedding
+    bytes through the per-query window shuffle. Full vectors are read
+    again just for the ≤refine·Q finalists."""
+    from osm_lib_spark.functions.hashing import l2_fold_col
+
     w1 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
     shortlist = (
-        scan.join(F.broadcast(probes.select("query_id", "lut")), "query_id")
-        .withColumn("adc", adc)
-        .select("query_id", "vec_id", "adc")
+        scored.select("query_id", "vec_id", "adc")
         .withColumn("r1", F.row_number().over(w1))
         .where(F.col("r1") <= refine)
         .select("query_id", "vec_id")
@@ -545,7 +588,7 @@ def _pq_adc_rerank(
     exact = (
         embeddings.select("vec_id", "embedding")
         .join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(probes.select("query_id", "q_emb")), "query_id")
+        .join(F.broadcast(qemb.select("query_id", "q_emb")), "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -597,12 +640,14 @@ def pq_topk(
         "vec_id", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
     )
     probes = _pq_query_luts(embeddings, cb, n_queries, m, sub)
-    # Scan phase is CODE-ONLY (see _pq_adc_rerank): the N×Q candidate
-    # frame carries (query_id, vec_id, codes), never the embedding.
-    scan = coded.crossJoin(F.broadcast(probes.select("query_id"))).where(
-        F.col("vec_id") != F.col("query_id")
+    # Scan phase is CODE-ONLY (see _pq_rerank_tail): the N×Q candidate
+    # frame carries (query_id, vec_id, codes, adc), never the embedding.
+    scored = (
+        coded.crossJoin(F.broadcast(probes.select("query_id", "lut")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", _adc_expr(m))
     )
-    return _pq_adc_rerank(embeddings, scan, probes, m, k, refine)
+    return _pq_rerank_tail(embeddings, scored, probes, k, refine)
 
 
 def ivf_pq_topk(
@@ -615,6 +660,7 @@ def ivf_pq_topk(
     kc: int = PQ_K,
     refine: int = PQ_REFINE,
     dim: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The standard IVF∘PQ pipeline ``pq_topk``'s docstring promises:
     coarse IVF list assignment (map-only argmax over broadcast stride
@@ -630,28 +676,88 @@ def ivf_pq_topk(
     code-only rows of the probed fraction. Memory per candidate row is
     M ints, a dim·8/M compression of the brute scan.
 
+    With ``residual=True`` (the textbook FAISS IVFPQ and the gated
+    configuration) the PQ codebooks are trained on — and vectors are
+    encoded as — RESIDUALS against their assigned coarse centroid
+    (r = x − c_list), and each query builds one ADC LUT PER PROBED LIST
+    from (q − c_list). Residuals concentrate around the origin, so a
+    codebook of the same size quantizes them far more finely than raw
+    vectors — that, not just the pruned scan, is why IVF∘PQ is the
+    standard pipeline. Residual subtraction is float64 element-wise
+    (exact in both engines), so determinism is unaffected. The plan
+    shape is identical; the broadcast LUT table grows from Q to
+    Q·nprobe rows (still tiny).
+
     Both the IVF index (stride centroids) and the PQ codebooks (stride
     init + one quantized Lloyd step) are deterministically trainable,
     so the DuckDB oracle retrains the ENTIRE composed index from
     scratch and must agree bit-for-bit.
     """
+    from osm_lib_spark.functions.hashing import l2_fold_np
+
     dim = _dim_of(embeddings, dim)
     sub = dim // m
+    spark = embeddings.sparkSession
     cents = _collect_cents(_stride_centroids(embeddings, nlist))
-    cb = _pq_train(embeddings, dim, m, kc)
-    coded = _assign_local(embeddings, cents).select(
-        "vec_id", "list_id", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
+    if not residual:
+        cb = _pq_train(embeddings, dim, m, kc)
+        coded = _assign_local(embeddings, cents).select(
+            "vec_id", "list_id", _pq_codes_udf(cb)(F.col("embedding")).alias("codes")
+        )
+        probes = _pq_query_luts(embeddings, cb, n_queries, m, sub)
+        plists = _probe_lists(embeddings, cents, n_queries, nprobe).select(
+            "query_id", "list_id"
+        )
+        # each vector lives in exactly one list and probes are distinct
+        # per (query, list), so the join yields each (query, vec) at
+        # most once
+        scored = (
+            coded.join(F.broadcast(plists), "list_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(probes.select("query_id", "lut")), "query_id")
+            .withColumn("adc", _adc_expr(m))
+        )
+        return _pq_rerank_tail(embeddings, scored, probes, k, refine)
+
+    # residual path: coarse quantizer is the Lloyd-REFINED centroid set
+    # (as in ivf_kmeans_topk — residuals only quantize finely when the
+    # centroids actually center their lists; measured on the fixture:
+    # residual-over-stride was WORSE than plain, residual-over-kmeans
+    # is at-or-above parity, and real clustered embeddings gain far
+    # more), then assignment + residual in ONE row-local Arrow kernel,
+    # PQ trained/encoded on the residual frame.
+    cents = _collect_cents(
+        _lloyd_step(_assign_local(embeddings, cents)).select("list_id", "c_emb")
     )
-    probes = _pq_query_luts(embeddings, cb, n_queries, m, sub)
-    plists = _probe_lists(embeddings, cents, n_queries, nprobe).select(
-        "query_id", "list_id"
+    resid = _assign_residual(embeddings, cents)
+    resid_as_emb = resid.select("vec_id", F.col("residual").alias("embedding"))
+    cb = _pq_train(resid_as_emb, dim, m, kc)
+    coded = resid.select(
+        "vec_id", "list_id", _pq_codes_udf(cb)(F.col("residual")).alias("codes")
     )
-    # each vector lives in exactly one list and probes are distinct per
-    # (query, list), so the join yields each (query, vec) at most once
-    scan = coded.join(F.broadcast(plists), "list_id").where(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", "vec_id", "codes")
-    return _pq_adc_rerank(embeddings, scan, probes, m, k, refine)
+    q_rows, pairs = _probe_list_rows(embeddings, cents, n_queries, nprobe)
+    cmap = {lid: np.asarray(v, dtype=np.float64) for lid, v in cents}
+    lut_rows = []
+    for qid, lid, vec in pairs:
+        qr = np.asarray(vec, dtype=np.float64) - cmap[lid]
+        lut = [
+            [float(l2_fold_np(qr[s * sub : (s + 1) * sub].reshape(1, -1), cb[s, j])[0]) for j in range(cb.shape[1])]
+            for s in range(m)
+        ]
+        lut_rows.append((qid, lid, lut))
+    probes_lut = spark.createDataFrame(
+        lut_rows, "query_id long, list_id int, lut array<array<double>>"
+    )
+    qemb = spark.createDataFrame(
+        [(qid, [float(v) for v in vec]) for qid, vec in q_rows],
+        "query_id long, q_emb array<double>",
+    )
+    scored = (
+        coded.join(F.broadcast(probes_lut), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", _adc_expr(m))
+    )
+    return _pq_rerank_tail(embeddings, scored, qemb, k, refine)
 
 
 def embedding_dup_pairs(
