@@ -259,7 +259,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     timed_warm("ann_pq_topk", lambda: pq_topk(embeddings))
     from osm_lib_spark.operators.similarity import ivf_pq_topk
 
-    timed_warm("ann_ivf_pq_topk", lambda: ivf_pq_topk(embeddings))
+    timed_warm("ann_ivf_pq_topk", lambda: ivf_pq_topk(embeddings, residual=True))
 
     extras["n_nodes"] = n_nodes
     extras["n_ways"] = n_ways
