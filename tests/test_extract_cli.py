@@ -48,3 +48,38 @@ def test_cli_pbf_format_matches_golden(spark, fixture_xs, tmp_path, capsys):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_knn_cli_matches_brute(spark, tmp_path, capsys):
+    """jobs/knn.py: k-ring and brute CLI runs agree row-for-row; bad
+    points exit 2 with a clean error."""
+    import duckdb
+
+    from jobs.knn import main as knn_main, parse_points
+
+    docs = "fixtures/sf-xs/docs.parquet"
+    pts = "44.80,-68.78;10.0,10.0"
+    out_ring = str(tmp_path / "ring")
+    out_brute = str(tmp_path / "brute")
+    assert knn_main(["--docs", docs, "--points", pts, "--out", out_ring, "--k", "5"]) == 0
+    assert knn_main(["--docs", docs, "--points", pts, "--out", out_brute, "--k", "5", "--brute"]) == 0
+    con = duckdb.connect()
+    diff = con.sql(
+        f"(SELECT * FROM read_parquet('{out_ring}/*.parquet') EXCEPT SELECT * FROM read_parquet('{out_brute}/*.parquet'))"
+        f" UNION ALL "
+        f"(SELECT * FROM read_parquet('{out_brute}/*.parquet') EXCEPT SELECT * FROM read_parquet('{out_ring}/*.parquet'))"
+    ).df()
+    assert len(diff) == 0
+    assert con.sql(f"SELECT count(*) FROM read_parquet('{out_ring}/*.parquet')").fetchone()[0] == 10
+
+    # CSV input form
+    csv = tmp_path / "pts.csv"
+    csv.write_text("lat,lon\n44.80,-68.78\n")
+    assert len(parse_points(str(csv))) == 1
+
+    # validation probes
+    import pytest as _pytest
+
+    for bad in ("91.0,0.0", "0.0", "0.0,181.0", ""):
+        with _pytest.raises(ValueError):
+            parse_points(bad)
