@@ -387,19 +387,39 @@ def q_vex_roundtrip_counts(spark, sf_dir):
 
 
 def q_pip(spark, sf_dir):
+    """BOTH point-in-polygon paths in one gate (50-slot merge rule):
+    'bc' = the broadcast path (closure-captured small polygon dict —
+    the fixture's three hand-shaped polygons incl. the hole), 'bk' =
+    the bucketed SCALE path (500 grid polygons as a DataFrame, exploded
+    to covering z12 tiles, tile equi-join, per-bucket ray cast — no
+    polygon list in any closure). Each path hash-matches its own
+    independently computed pandas golden."""
     import numpy as np
 
-    from osm_lib_spark.operators.pip import points_in_polygons
+    from osm_lib_spark.operators.pip import (
+        grid_polygons,
+        points_in_polygons,
+        points_in_polygons_bucketed,
+        polygons_df,
+    )
     from osm_lib_spark.sources.span_codec import parse_nodes
 
     docs = _docs(spark, sf_dir)
+    meta = _meta(sf_dir)
+    nodes = parse_nodes(docs)
     polys = {
         int(pid): [np.array(r, dtype=np.float64) for r in rings]
-        for pid, rings in _meta(sf_dir)["polygons"].items()
+        for pid, rings in meta["polygons"].items()
     }
-    return points_in_polygons(parse_nodes(docs), polys).select(
-        F.col("poly_id").cast("long").alias("poly_id"), "node_id"
+    bc = points_in_polygons(nodes, polys).select(
+        F.lit("bc").alias("src"), F.col("poly_id").cast("long").alias("poly_id"), "node_id"
     )
+    centers = [(float(p[1]), float(p[2])) for p in meta["knn_points"][:2]]
+    many = polygons_df(spark, grid_polygons(centers))
+    bk = points_in_polygons_bucketed(nodes, many).select(
+        F.lit("bk").alias("src"), F.col("poly_id").cast("long").alias("poly_id"), "node_id"
+    )
+    return bc.unionByName(bk)
 
 
 # ---------------------------------------------------------------------------
@@ -1251,7 +1271,11 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT unnest(string_split(tags_str, ';')) AS kv FROM all_tags WHERE tags_str <> ''"
             ") SELECT kv, count(*) AS n, CAST(sum(length(kv)) AS BIGINT) AS weight FROM kvs WHERE kv <> '' GROUP BY kv"
         ),
-        "osm_pip": f"SELECT poly_id, node_id FROM read_parquet('{G}/pip.parquet')",
+        "osm_pip": f"""
+            SELECT 'bc' AS src, poly_id, node_id FROM read_parquet('{G}/pip.parquet')
+            UNION ALL
+            SELECT 'bk' AS src, poly_id, node_id FROM read_parquet('{G}/pip_many.parquet')
+        """,
     }
     out["osm_rel_members"] = (
         "SELECT lower(split_part(m, ':', 1)) AS member_type, "

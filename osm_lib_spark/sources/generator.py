@@ -457,6 +457,18 @@ def write_fixture(scale: str, out_dir: str, light: bool = False) -> None:
         world.nodes, {pid: [np.array(r) for r in rings] for pid, rings in polys.items()}
     ).to_parquet(os.path.join(g, "pip.parquet"), index=False)
 
+    # golden for the bucketed (many-polygon) PIP scale path: the same
+    # deterministic grid polygon set the gate query builds
+    from osm_lib_spark.operators.pip import grid_polygons
+
+    pip_centers = [
+        (float(world.centers[0][0]), float(world.centers[0][1])),
+        (float(world.centers[1 % len(world.centers)][0]), float(world.centers[1 % len(world.centers)][1])),
+    ]
+    oracle.oracle_pip_bboxed(world.nodes, grid_polygons(pip_centers)).to_parquet(
+        os.path.join(g, "pip_many.parquet"), index=False
+    )
+
     counts = pd.DataFrame(
         {
             "entity_type": ["node", "way", "relation"],

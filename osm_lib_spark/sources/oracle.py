@@ -207,6 +207,40 @@ def oracle_pip(
     )
 
 
+def oracle_pip_bboxed(
+    nodes: pd.DataFrame, polygons: dict[int, list[np.ndarray]]
+) -> pd.DataFrame:
+    """``oracle_pip`` with an exact per-polygon bbox prefilter — same
+    result (a point outside the union bbox of a polygon's rings cannot
+    be inside under even-odd), O(N) bbox masks instead of O(N·V) ray
+    casts per polygon. Used for LARGE golden polygon sets (pip_many)."""
+    lat = nodes["fixed_lat"].to_numpy() / FIXED
+    lon = nodes["fixed_lon"].to_numpy() / FIXED
+    ids = nodes["id"].to_numpy()
+    rows = []
+    for pid, rings in polygons.items():
+        allv = np.concatenate([np.asarray(r, dtype=np.float64) for r in rings])
+        mask = (
+            (lat >= allv[:, 0].min())
+            & (lat <= allv[:, 0].max())
+            & (lon >= allv[:, 1].min())
+            & (lon <= allv[:, 1].max())
+        )
+        idx = np.nonzero(mask)[0]
+        if not len(idx):
+            continue
+        inside = np.zeros(len(idx), dtype=bool)
+        for ring in rings:
+            inside ^= ray_cast_contains(
+                np.asarray(ring, dtype=np.float64), lat[idx], lon[idx]
+            )
+        for nid in np.sort(ids[idx[inside]]):
+            rows.append((pid, int(nid)))
+    return pd.DataFrame(rows, columns=["poly_id", "node_id"]).astype(
+        {"poly_id": "int64", "node_id": "int64"}
+    )
+
+
 def render_tags_str(tags: list[tuple[str, str]]) -> str:
     """Canonical 'k=v;k=v;' rendering ('' if no tags) — TextOutput.java:24-34."""
     if not tags:

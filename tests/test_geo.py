@@ -176,6 +176,53 @@ def test_pip_vs_golden(nodes_xs, fixture_xs, meta_xs):
     assert_df_equal(got, golden(fixture_xs, "pip"), sort_cols=["poly_id", "node_id"])
 
 
+def test_pip_bucketed_vs_golden_and_broadcast(nodes_xs, fixture_xs, meta_xs, spark):
+    """The bucketed scale path must equal the independent pandas golden
+    on the 500-grid-polygon set AND equal the broadcast path on the
+    fixture's hand-shaped polygons (same results, no closure capture)."""
+    from osm_lib_spark.operators.pip import (
+        grid_polygons,
+        points_in_polygons_bucketed,
+        polygons_df,
+    )
+
+    centers = [(float(p[1]), float(p[2])) for p in meta_xs["knn_points"][:2]]
+    many = polygons_df(spark, grid_polygons(centers))
+    got = points_in_polygons_bucketed(nodes_xs, many)
+    assert_df_equal(got, golden(fixture_xs, "pip_many"), sort_cols=["poly_id", "node_id"])
+    # the plan is a tile equi-join, not a closure loop: the join keys
+    # appear in the physical plan and no polygon list rides the UDF
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "xtile" in plan and "ytile" in plan
+
+    # path equivalence on the broadcast fixture polygons
+    polys = {
+        int(pid): [np.array(r, dtype=np.float64) for r in rings]
+        for pid, rings in meta_xs["polygons"].items()
+    }
+    bc = points_in_polygons(nodes_xs, polys)
+    bk = points_in_polygons_bucketed(nodes_xs, polygons_df(spark, polys))
+    assert_df_equal(bk, bc.toPandas(), sort_cols=["poly_id", "node_id"])
+
+
+def test_pip_bucketed_rejects_antimeridian_wrap(spark):
+    """A ring spanning >180° of longitude must raise (documented
+    limitation, asserted lazily in the plan)."""
+    import pytest as _pytest
+
+    from osm_lib_spark.operators.pip import points_in_polygons_bucketed, polygons_df
+
+    nodes = spark.createDataFrame(
+        [(1, 0, 0, [])],
+        "id long, fixed_lat int, fixed_lon int, tags array<struct<key:string,value:string>>",
+    )
+    bad = polygons_df(
+        spark, {1: [np.array([[0.0, -179.0], [0.0, 179.0], [1.0, 179.0]])]}
+    )
+    with _pytest.raises(Exception, match="antimeridian"):
+        points_in_polygons_bucketed(nodes, bad).collect()
+
+
 def test_knn_kring_fewer_than_k_nodes(spark):
     """k exceeds the world's node count: expansion must cover the grid
     and terminate with all nodes ranked (covered_all path)."""
