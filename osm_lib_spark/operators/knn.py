@@ -17,10 +17,13 @@ Two strategies, both exact:
   probe regardless of frontier size — never a per-query Spark job, and
   never a broadcast-nested-loop over range predicates. Ring radii
   double per round, so a query that terminates at radius R has scanned
-  ≤ 4/3 · (2R+1)² tiles total (geometric series). The only driver
-  traffic per round is one Q-row stats collect (count + k-th distance
-  per frontier query) to decide which queries are satisfied — control
-  flow only, never candidate data.
+  ≤ 4/3 · (2R+1)² tiles total (geometric series). Driver traffic per
+  round is bounded by Q CONTROL rows each way: one (count, k-th
+  distance) stats collect up, one satisfied-id list down for the
+  broadcast semi-join — never candidate or result data. Per-round
+  top-k slices stay executor-side (eager localCheckpoint) and the
+  returned DataFrame is their union, so an offline Q=10⁶ batch never
+  funnels k·Q result rows through one process.
 
 Exactness guard: a query stops expanding only when it has k hits AND
 its k-th distance is ≤ a proven LOWER bound on the distance to any
@@ -275,7 +278,7 @@ def tiled_node_store(nodes: DataFrame) -> DataFrame:
 
 
 def knn_kring(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     query_points: list[tuple[int, float, float]],
     k: int = 10,
     initial_ring: int | None = None,
@@ -293,7 +296,9 @@ def knn_kring(
     ``osm_knn_kring`` against an independent SQL brute force).
 
     ``tiled`` (from ``tiled_node_store``, ideally persisted): skip the
-    per-call tiling scan — the steady-state serving path.
+    per-call tiling scan — the steady-state serving path. With
+    ``tiled`` supplied, ``nodes`` may be None (a serving layer reads
+    only the persisted store).
 
     Rounds whose strip table would exceed ``strip_switch`` rows
     (Q·(2r+1) growth — thousands of queries with wide rings) switch to
@@ -316,7 +321,9 @@ def knn_kring(
     ring distance bound. Callers that know the corpus size (benches,
     serving layers with table stats) should pass ``est_n_nodes``.
     """
-    spark = nodes.sparkSession
+    if nodes is None and tiled is None:
+        raise ValueError("knn_kring needs nodes or a tiled store")
+    spark = (nodes if tiled is None else tiled).sparkSession
     if initial_ring is None:
         if est_n_nodes and est_n_nodes > 0:
             density = est_n_nodes / float(NTILES * NTILES)  # nodes per tile
@@ -340,7 +347,7 @@ def knn_kring(
         )
         for qid, qlat, qlon in query_points
     ]
-    parts: list[tuple[int, int, int]] = []
+    parts: list[DataFrame] = []
 
     while frontier:
         # coarse prefilter: the frontier's global tile bounding box as
@@ -376,12 +383,14 @@ def knn_kring(
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist_m").asc(), F.col("node_id").asc()
         )
-        # ONE job per round: candidates reduce to the window top-k on
-        # the executors, and ONLY that ≤ k·|frontier|-row result — the
-        # queries' own bounded output — crosses to the driver, which
-        # decides termination per query. (Splitting this into an eager
-        # checkpoint + a stats aggregate was a second job per round for
-        # no information gain.)
+        # per round: the window top-k PERSISTS executor-side and the
+        # stats aggregate is the one materializing action — so the
+        # round still costs ONE job, and the driver collects ONLY
+        # per-query (count, k-th distance): Q control rows, never the
+        # k·|frontier| candidate rows. Satisfied queries' result slices
+        # stay on the executors in a per-round union of the cached
+        # frames (left persisted: k·Q rows per round; eviction merely
+        # recomputes deterministically from lineage).
         ranked = (
             cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -391,29 +400,25 @@ def knn_kring(
                 "node_id",
                 "dist_m",
             )
-            .collect()
+            .persist()
         )
-        by_query: dict[int, list] = {}
-        for r in ranked:
-            by_query.setdefault(r.query_id, []).append(r)
+        stats = {
+            r["query_id"]: (int(r["n"]), float(r["kth"]))
+            for r in ranked.groupBy("query_id")
+            .agg(F.count("*").alias("n"), F.max("dist_m").alias("kth"))
+            .collect()
+        }
 
         next_frontier = []
+        satisfied_ids: list[int] = []
         for f in frontier:
-            rows = by_query.get(f["query_id"], [])
-            kth = max((r.dist_m for r in rows), default=math.inf)
+            n_rows, kth = stats.get(f["query_id"], (0, math.inf))
             bound = _min_dist_beyond_ring(
                 f["qlat"], f["qlon"], f["qx"], f["qy"], f["radius"]
             )
             covered_all = math.isinf(bound)
-            if (
-                covered_all
-                or (len(rows) >= k and kth <= bound)
-                or f["radius"] >= max_ring
-            ):
-                parts.extend(
-                    (r.query_id, r.rank, r.node_id)
-                    for r in sorted(rows, key=lambda r: r.rank)
-                )
+            if covered_all or (n_rows >= k and kth <= bound) or f["radius"] >= max_ring:
+                satisfied_ids.append(f["query_id"])
             else:
                 # deficit-adaptive growth: each round costs a fixed
                 # Spark job, so sparse regions jump harder (×8 on an
@@ -421,11 +426,28 @@ def knn_kring(
                 # bound-tightening rounds double. Exactness is
                 # untouched — termination is gated by the distance
                 # bound, never by the growth schedule.
-                growth = 2 if len(rows) >= k else (4 if rows else 8)
+                growth = 2 if n_rows >= k else (4 if n_rows else 8)
                 f["radius"] = min(f["radius"] * growth, max_ring)
                 next_frontier.append(f)
+        if satisfied_ids:
+            # broadcast semi-join on the satisfied id set (Q rows down,
+            # not a giant literal isin) slices this round's results out
+            # of the checkpointed frame — still executor-side
+            sat = spark.createDataFrame(
+                [(int(q),) for q in satisfied_ids], "query_id int"
+            )
+            parts.append(
+                ranked.join(F.broadcast(sat), "query_id", "left_semi").select(
+                    "query_id", "rank", "node_id"
+                )
+            )
         frontier = next_frontier
 
     if own_cache:
         coords.unpersist()
-    return spark.createDataFrame(parts or [], "query_id int, rank int, node_id long")
+    if not parts:
+        return spark.createDataFrame([], "query_id int, rank int, node_id long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

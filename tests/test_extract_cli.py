@@ -83,3 +83,38 @@ def test_knn_cli_matches_brute(spark, tmp_path, capsys):
     for bad in ("91.0,0.0", "0.0", "0.0,181.0", ""):
         with _pytest.raises(ValueError):
             parse_points(bad)
+
+    # a truncated CSV row must raise ValueError (clean exit-2 path),
+    # not IndexError
+    short = tmp_path / "short.csv"
+    short.write_text("lat,lon\n44.80,-68.78\n 44.8\n")
+    with _pytest.raises(ValueError, match="row 3"):
+        parse_points(str(short))
+
+
+def test_knn_cli_store_roundtrip(spark, tmp_path, capsys):
+    """--store: first run builds the tiled store, second run LOADS it
+    (no docs parse / tiling scan) and returns identical rows."""
+    import json as _json
+
+    import duckdb
+
+    from jobs.knn import main as knn_main
+
+    docs = "fixtures/sf-xs/docs.parquet"
+    pts = "44.80,-68.78;10.0,10.0"
+    store = str(tmp_path / "store")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    assert knn_main(["--docs", docs, "--points", pts, "--out", out1, "--k", "5", "--store", store]) == 0
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["store"] == "built"
+    assert knn_main(["--docs", docs, "--points", pts, "--out", out2, "--k", "5", "--store", store]) == 0
+    second = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["store"] == "loaded"
+    con = duckdb.connect()
+    diff = con.sql(
+        f"(SELECT * FROM read_parquet('{out1}/*.parquet') EXCEPT SELECT * FROM read_parquet('{out2}/*.parquet'))"
+        f" UNION ALL "
+        f"(SELECT * FROM read_parquet('{out2}/*.parquet') EXCEPT SELECT * FROM read_parquet('{out1}/*.parquet'))"
+    ).df()
+    assert len(diff) == 0
