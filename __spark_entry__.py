@@ -1806,21 +1806,40 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cell8, count(*) AS n_nodes, count(DISTINCT c12) AS n_cells12
                 FROM cells GROUP BY cell8
             """,
-            # the three 1:1 per-media stages recomputed in one SELECT
-            # (everything derives deterministically from media_ref)
+            # the three 1:1 per-media stages recomputed in one SELECT.
+            # The engine DECODES real PNG payloads; the oracle instead
+            # derives the same pixel sums from the synthetic payload's
+            # closed form — pixel[y,x,c] = base_c + x + y with
+            # (base_c, w, h) from md5(ref) bytes (multimodal.synth_payload)
+            # — so Σ channel_c = w·h·base_c + h·Σx + w·Σy, and the
+            # 224×224 nearest-neighbor resize sum uses the same floor
+            # index map (src = (dst·in)//224) summed over range(224).
+            # A decoder or resampler bug on the engine side breaks this
+            # hash; the oracle never runs the decoder.
             "media_pipeline": f"""
-                SELECT doc_id, (s).media_ref AS media_ref,
-                       split_part((s).media_ref, '://', 1) AS scheme,
-                       split_part(split_part((s).media_ref, '://', 2), '/', 1) AS media_kind,
-                       CAST(split_part(split_part((s).media_ref, '://', 2), '/', 2) AS BIGINT) AS media_id,
-                       substr(md5((s).media_ref), 1, 16) AS sig,
-                       CAST(('0x' || substr(md5((s).media_ref || '#0'), 1, 8)) AS BIGINT) AS f0,
-                       CAST(('0x' || substr(md5((s).media_ref || '#1'), 1, 8)) AS BIGINT) AS f1,
-                       CAST(('0x' || substr(md5((s).media_ref || '#2'), 1, 8)) AS BIGINT) AS f2,
-                       CAST(('0x' || substr(md5((s).media_ref || '#3'), 1, 8)) AS BIGINT) AS f3,
+                WITH m AS (
+                    SELECT doc_id, (s).media_ref AS media_ref,
+                           CAST(('0x' || substr(md5((s).media_ref), 1, 2)) AS BIGINT) % 128 AS b0,
+                           CAST(('0x' || substr(md5((s).media_ref), 3, 2)) AS BIGINT) % 128 AS b1,
+                           8 + CAST(('0x' || substr(md5((s).media_ref), 7, 2)) AS BIGINT) % 25 AS w,
+                           8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h
+                    FROM {_SPANS} WHERE (s).kind = 'media'
+                )
+                SELECT doc_id, media_ref,
+                       split_part(media_ref, '://', 1) AS scheme,
+                       split_part(split_part(media_ref, '://', 2), '/', 1) AS media_kind,
+                       CAST(split_part(split_part(media_ref, '://', 2), '/', 2) AS BIGINT) AS media_id,
+                       substr(md5(media_ref), 1, 16) AS sig,
+                       CAST(w AS BIGINT) AS f0,
+                       CAST(h AS BIGINT) AS f1,
+                       CAST(w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS f2,
+                       CAST(w*h*b1 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS f3,
                        CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
-                       CAST(('0x' || substr(md5((s).media_ref || '@224x224'), 1, 15)) AS BIGINT) AS resized_sig
-                FROM {_SPANS} WHERE (s).kind = 'media'
+                       CAST(224*224*b0
+                            + 224*(SELECT SUM((t.x * m.w) // 224) FROM range(0, 224) t(x))
+                            + 224*(SELECT SUM((t.y * m.h) // 224) FROM range(0, 224) t(y))
+                            AS BIGINT) AS resized_sig
+                FROM m
             """,
             # full recomputation of the 1→N frame fan-out: the same
             # deterministic frame count and every-5th sampling

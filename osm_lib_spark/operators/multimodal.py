@@ -1,18 +1,21 @@
 """Multimodal (media) column handling.
 
-Media spans are opaque references (``media_ref``) with typed metadata
-derived by parsing; binary payloads at scale would be a sibling
-``binary`` column / object-store pointer — the Spark-side plumbing
-(schemas, partitioning, Arrow batch shapes, mapInPandas signatures) is
-real and tested; the actual image/audio DECODE is stubbed because the
-codec libraries are not in this container.
+Media spans are opaque references (``media_ref``); the binary payload
+is a sibling ``binary`` column materialized by ``media_payloads`` (at
+scale: an object-store fetch keyed by the ref — here a deterministic
+synthetic PNG writer stands in for the fetch, clearly marked). The
+DECODE is REAL: ``functions/png.py`` is a from-scratch PNG codec
+(signature/chunk/CRC walk, zlib inflate, all five row filters, pure
+numpy — no PIL in this container), so ``decode_media_features`` and
+``resize_media`` actually parse compressed image bytes per Arrow batch
+and compute features / resized signatures FROM DECODED PIXELS.
 
-``decode_media_features`` shows the pattern: a ``mapInPandas``
-partition-iterator operator that would call PIL/libav per Arrow batch;
-here the decode function is swapped for a deterministic md5-derived
-fake (clearly marked) so the distributed plumbing is exercised and the
-output is oracle-checkable. Swap ``_decode_batch`` for a real decoder
-to productionize — nothing else changes.
+Oracle-checkability: the synthetic payload for a ref is a w×h RGB
+gradient pixel[y,x,c] = base_c + x + y with (base_c, w, h) read from
+md5(ref) bytes — so per-channel pixel SUMS have closed forms the
+DuckDB oracle recomputes from md5 alone. If the decoder (or resize)
+mis-reads even one pixel, the gate hash breaks: the decode path itself
+is end-to-end verified, not just the plumbing.
 """
 
 from __future__ import annotations
@@ -20,17 +23,19 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from osm_lib_spark.functions.png import png_decode, png_encode, resize_nearest
 from osm_lib_spark.sources.span_codec import explode_spans
 
-N_FAKE_FEATURES = 4
+N_FEATURES = 4
 
 MEDIA_FEATURE_SCHEMA = (
     "doc_id string, media_ref string, "
-    + ", ".join(f"f{i} long" for i in range(N_FAKE_FEATURES))
+    + ", ".join(f"f{i} long" for i in range(N_FEATURES))
 )
 
 
@@ -55,62 +60,32 @@ def media_catalog(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batch(refs: pd.Series) -> pd.DataFrame:
-    """STUB decoder. A real implementation would fetch + decode the
-    payload (PIL.Image.open / soundfile / pyav frame sampling) and emit
-    embedding-ready features. This deterministic fake derives
-    N_FAKE_FEATURES int64 features from md5(ref + '#i') so tests and
-    oracles can verify the plumbing end-to-end.
-    """
-    try:  # pragma: no cover - decode libs absent in this environment
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired; remove the stub in _decode_batch"
-        )
-    except ImportError:
-        pass
-    cols = {}
-    for i in range(N_FAKE_FEATURES):
-        cols[f"f{i}"] = [
-            int(hashlib.md5(f"{r}#{i}".encode()).hexdigest()[:8], 16) for r in refs
-        ]
-    return pd.DataFrame(cols)
+def synth_payload(ref: str) -> bytes:
+    """Deterministic 'object-store fetch' stand-in: the payload for a
+    ref is a real zlib-compressed PNG of a w×h RGB gradient with
+    pixel[y, x, c] = base_c + x + y, where (base_0..2, w, h) come from
+    md5(ref) bytes 0-4 (base_c = byte_c % 128, dims = 8 + byte % 25;
+    max pixel value 127+31+31 = 189 < 256, no wraparound — per-channel
+    sums therefore have md5-derivable closed forms the oracle checks).
+    At scale this function is the only thing a production build
+    replaces (S3/GCS ranged GET by ref)."""
+    d = hashlib.md5(ref.encode()).digest()
+    base = [d[0] % 128, d[1] % 128, d[2] % 128]
+    w, h = 8 + d[3] % 25, 8 + d[4] % 25
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([b + xx + yy for b in base], axis=2).astype(np.uint8)
+    return png_encode(img)
 
 
-def decode_media_features(docs: DataFrame) -> DataFrame:
-    """mapInPandas media 'decode': (doc_id, media_ref, f0..f3).
-
-    Partition-iterator operator: each Arrow batch is decoded as a unit
-    (the real-codec batching shape); deterministic fake features here.
-    """
-    media = explode_spans(docs).where(F.col("kind") == "media").select(
-        "doc_id", "media_ref"
-    )
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = _decode_batch(pdf["media_ref"])
-            yield pd.concat(
-                [pdf[["doc_id", "media_ref"]].reset_index(drop=True), feats], axis=1
-            )
-
-    return media.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
+PAYLOAD_SCHEMA = "doc_id string, media_ref string, payload binary, n_bytes long"
 
 
-RESIZE_SCHEMA = "doc_id string, media_ref string, width int, height int, resized_sig long"
+def media_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, payload, n_bytes): the binary media column.
 
-
-def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize plumbing: one output row per media span with the
-    target geometry and a content signature of the resized payload.
-
-    STUB semantics (no codec libs in this container): resized_sig =
-    md5-prefix of ``ref@WxH`` — deterministic, SQL-recomputable. A real
-    implementation decodes the binary column, resizes per Arrow batch
-    (PIL/libvips), and signs the output bytes; schema, batching, and
-    partitioning are identical.
-    """
+    mapInPandas fetch: one Arrow batch of refs in, one batch of PNG
+    byte payloads out — the batching/partitioning shape of a real
+    object-store fetch stage (payload bytes never touch the driver)."""
     media = explode_spans(docs).where(F.col("kind") == "media").select(
         "doc_id", "media_ref"
     )
@@ -118,15 +93,69 @@ def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFr
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
-            out["width"] = width
-            out["height"] = height
-            out["resized_sig"] = [
-                int(hashlib.md5(f"{r}@{width}x{height}".encode()).hexdigest()[:15], 16)
-                for r in out["media_ref"]
-            ]
+            payloads = [synth_payload(r) for r in out["media_ref"]]
+            out["payload"] = payloads
+            out["n_bytes"] = [len(p) for p in payloads]
             yield out
 
-    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+    return media.mapInPandas(op, schema=PAYLOAD_SCHEMA)
+
+
+def decode_media_features(docs: DataFrame) -> DataFrame:
+    """REAL media decode: (doc_id, media_ref, f0..f3) where f0/f1 are
+    the decoded image's width/height (from the PNG IHDR) and f2/f3 are
+    the pixel SUMS of channels 0/1 of the decoded array — recomputed by
+    the oracle from the synthetic payload's closed form, so a decoder
+    bug breaks the gate hash.
+
+    mapInPandas partition-iterator: each Arrow batch fetches payload
+    bytes and decodes them (zlib inflate + unfilter per image, numpy)
+    — the exact batching shape of a PIL/libvips decoder.
+    """
+    pay = media_payloads(docs)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
+            f0, f1, f2, f3 = [], [], [], []
+            for raw in pdf["payload"]:
+                img = png_decode(bytes(raw))
+                f0.append(img.shape[1])
+                f1.append(img.shape[0])
+                f2.append(int(img[:, :, 0].astype(np.int64).sum()))
+                f3.append(int(img[:, :, 1].astype(np.int64).sum()))
+            out["f0"], out["f1"], out["f2"], out["f3"] = f0, f1, f2, f3
+            yield out
+
+    return pay.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id string, media_ref string, width int, height int, resized_sig long"
+
+
+def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """REAL image resize: decode the payload, nearest-neighbor resample
+    to (width, height) by integer index mapping (src = (dst·in)//out),
+    and sign the result with the channel-0 pixel sum of the RESIZED
+    array — which the oracle recomputes in SQL from the synthetic
+    payload's closed form plus the same floor index map. A wrong
+    resample (off-by-one index math, wrong rounding) breaks the hash.
+    """
+    pay = media_payloads(docs)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
+            sigs = []
+            for raw in pdf["payload"]:
+                resized = resize_nearest(png_decode(bytes(raw)), width, height)
+                sigs.append(int(resized[:, :, 0].astype(np.int64).sum()))
+            out["width"] = width
+            out["height"] = height
+            out["resized_sig"] = sigs
+            yield out
+
+    return pay.mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sig long"

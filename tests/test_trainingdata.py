@@ -160,7 +160,14 @@ def test_ann_lsh_recall(tiny_embeddings):
     assert sum(recall) / len(recall) >= 0.2  # breakage guard; typical ≫
 
 
-def test_media_plumbing(docs_xs):
+def test_media_decode_real_pixels(docs_xs):
+    """The media features are computed from ACTUALLY DECODED PNG bytes:
+    re-decode one payload independently and compare the pixel sums."""
+    import numpy as np
+
+    from osm_lib_spark.functions.png import png_decode
+    from osm_lib_spark.operators.multimodal import media_payloads, synth_payload
+
     cat = media_catalog(docs_xs)
     row = cat.first()
     assert row.scheme == "media" and row.media_kind == "img"
@@ -168,9 +175,40 @@ def test_media_plumbing(docs_xs):
 
     feats = decode_media_features(docs_xs)
     frow = feats.first()
-    exp0 = int(hashlib.md5(f"{frow.media_ref}#0".encode()).hexdigest()[:8], 16)
-    assert frow.f0 == exp0
+    img = png_decode(synth_payload(frow.media_ref))
+    assert frow.f0 == img.shape[1] and frow.f1 == img.shape[0]
+    assert frow.f2 == int(img[:, :, 0].astype(np.int64).sum())
+    assert frow.f3 == int(img[:, :, 1].astype(np.int64).sum())
     assert cat.count() == feats.count()
+
+    # the binary payload column round-trips through Arrow and decodes
+    prow = media_payloads(docs_xs).first()
+    assert prow.n_bytes == len(prow.payload)
+    decoded = png_decode(bytes(prow.payload))
+    assert decoded.dtype.name == "uint8" and decoded.ndim == 3
+
+
+def test_png_codec_roundtrip_all_filters():
+    """From-scratch PNG codec: encode/decode must be exact for every
+    row filter type, gray and RGB, plus nearest-resize floor indexing."""
+    import numpy as np
+
+    from osm_lib_spark.functions.png import png_decode, png_encode, resize_nearest
+
+    rng = np.random.default_rng(12345)
+    for shape in [(1, 1), (3, 5), (17, 9), (3, 5, 3), (32, 31, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            back = png_decode(png_encode(img, filter_type=ft))
+            assert back.shape == img.shape and (back == img).all(), (shape, ft)
+    img = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)
+    r = resize_nearest(img, 3, 2)
+    # src_x = (x*6)//3 = 0,2,4 ; src_y = (y*4)//2 = 0,2
+    assert (r == img[np.ix_([0, 2], [0, 2, 4])]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png at all")
 
 
 def test_ivf_recall_vs_nprobe_monotone(tiny_embeddings):
