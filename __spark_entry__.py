@@ -604,14 +604,26 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 
 def q_ann_ivf_pq(spark, sf_dir):
     """The composed IVF∘PQ standard pipeline in its textbook RESIDUAL
-    form (FAISS IVFPQ): Lloyd-refined coarse quantizer, PQ codebooks
-    trained on float64 residuals to the assigned centroid, one ADC LUT
-    per (query, probed list), code-only scan over the probed fraction,
-    shared exact-L2 rerank. The oracle retrains BOTH index stages from
-    scratch in SQL (coarse k-means step + residual codebooks)."""
-    from osm_lib_spark.operators.similarity import ivf_pq_topk
+    form (FAISS IVFPQ), served from a PERSISTED index: the gate builds
+    the index once (build_ivf_pq_index — Lloyd-refined coarse
+    quantizer, PQ codebooks trained on float64 residuals, codes table
+    hive-partitioned by coarse list) and answers from the LOADED index
+    (ivf_pq_topk_from_index: probed-list partition pruning, one ADC
+    LUT per (query, probed list), code-only scan, shared exact-L2
+    rerank). Training is deterministic, so the oracle retrains BOTH
+    index stages from scratch in SQL and must agree bit-for-bit —
+    which also proves save/load loses nothing."""
+    import tempfile
 
-    return ivf_pq_topk(_embeddings(spark, sf_dir), residual=True)
+    from osm_lib_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivfpq_gate_")
+    build_ivf_pq_index(emb, idx)
+    return ivf_pq_topk_from_index(emb, idx)
 
 
 def q_emb_dup_pairs(spark, sf_dir):

@@ -719,15 +719,31 @@ def ivf_pq_topk(
         )
         return _pq_rerank_tail(embeddings, scored, probes, k, refine)
 
-    # residual path: coarse quantizer is the Lloyd-REFINED centroid set
-    # (as in ivf_kmeans_topk — residuals only quantize finely when the
-    # centroids actually center their lists; measured on the fixture:
-    # residual-over-stride was WORSE than plain, residual-over-kmeans
-    # is at-or-above parity, and real clustered embeddings gain far
-    # more), then assignment + residual in ONE row-local Arrow kernel,
-    # PQ trained/encoded on the residual frame.
+    # residual path: train + query halves (shared with the persisted-
+    # index path below)
+    cents, cb, coded = _train_residual_ivf_pq(embeddings, cents, dim, m, kc)
+    return _query_residual_ivf_pq(
+        embeddings, cents, cb, coded, k, n_queries, nprobe, refine
+    )
+
+
+def _train_residual_ivf_pq(
+    embeddings: DataFrame, stride_cents: list, dim: int, m: int, kc: int
+):
+    """Train the residual IVF∘PQ index → (cents, cb, coded).
+
+    Coarse quantizer is the Lloyd-REFINED centroid set (as in
+    ``ivf_kmeans_topk`` — residuals only quantize finely when the
+    centroids actually center their lists; measured on the fixture:
+    residual-over-stride was WORSE than plain, residual-over-kmeans is
+    at-or-above parity, and real clustered embeddings gain far more),
+    then assignment + residual in ONE row-local Arrow kernel, PQ
+    trained/encoded on the residual frame. Deterministic end to end
+    (stride init + integer-quantized Lloyd means), so train-once and
+    retrain produce the identical index.
+    """
     cents = _collect_cents(
-        _lloyd_step(_assign_local(embeddings, cents)).select("list_id", "c_emb")
+        _lloyd_step(_assign_local(embeddings, stride_cents)).select("list_id", "c_emb")
     )
     resid = _assign_residual(embeddings, cents)
     resid_as_emb = resid.select("vec_id", F.col("residual").alias("embedding"))
@@ -735,6 +751,33 @@ def ivf_pq_topk(
     coded = resid.select(
         "vec_id", "list_id", _pq_codes_udf(cb)(F.col("residual")).alias("codes")
     )
+    return cents, cb, coded
+
+
+def _query_residual_ivf_pq(
+    embeddings: DataFrame,
+    cents: list,
+    cb: np.ndarray,
+    coded: DataFrame,
+    k: int,
+    n_queries: int,
+    nprobe: int,
+    refine: int,
+    prune_lists: bool = False,
+) -> DataFrame:
+    """Query half of residual IVF∘PQ: one ADC LUT per (query, probed
+    list) from (q − c_list), code-only scan of the probed lists, shared
+    exact-L2 rerank. With ``prune_lists`` the probed list_ids are also
+    applied as a LITERAL filter — against a ``list_id``-partitioned
+    codes table this prunes unprobed partitions at the SCAN (the
+    persisted-index serving path), whereas the broadcast join alone
+    would read all codes."""
+    from osm_lib_spark.functions.hashing import l2_fold_np
+
+    spark = embeddings.sparkSession
+    dim = len(cents[0][1])
+    m = cb.shape[0]
+    sub = dim // m
     q_rows, pairs = _probe_list_rows(embeddings, cents, n_queries, nprobe)
     cmap = {lid: np.asarray(v, dtype=np.float64) for lid, v in cents}
     lut_rows = []
@@ -752,12 +795,106 @@ def ivf_pq_topk(
         [(qid, [float(v) for v in vec]) for qid, vec in q_rows],
         "query_id long, q_emb array<double>",
     )
+    if prune_lists:
+        probed_lids = sorted({lid for _, lid, _ in pairs})
+        coded = coded.where(F.col("list_id").isin(probed_lids))
     scored = (
         coded.join(F.broadcast(probes_lut), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("adc", _adc_expr(m))
     )
     return _pq_rerank_tail(embeddings, scored, qemb, k, refine)
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = IVF_NLIST,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    dim: int | None = None,
+) -> dict:
+    """Train the residual IVF∘PQ index ONCE and persist it:
+
+        path/centroids/   (list_id, c_emb)            — nlist rows
+        path/codebooks/   (s, code, cb_emb)           — m·kc rows
+        path/codes/       (vec_id, codes) PARTITIONED BY list_id
+        path/index_meta.json
+
+    The codes table is the corpus-sized piece (M small ints per vector
+    — the dim·8/M compression) and is hive-partitioned by the coarse
+    list, so a serving query's literal nprobe-list filter prunes
+    unread partitions at the file level: the steady-state scan touches
+    ~nprobe/nlist of the index regardless of corpus size. Training is
+    deterministic, so rebuild == reload (pytest-asserted).
+
+    At 100 TB these are Iceberg tables; centroids/codebooks stay
+    broadcast-sized (they are collected per query anyway).
+    """
+    import json as _json
+    import os as _os
+
+    dim = _dim_of(embeddings, dim)
+    spark = embeddings.sparkSession
+    stride = _collect_cents(_stride_centroids(embeddings, nlist))
+    cents, cb, coded = _train_residual_ivf_pq(embeddings, stride, dim, m, kc)
+    spark.createDataFrame(
+        [(int(lid), [float(x) for x in v]) for lid, v in cents],
+        "list_id int, c_emb array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in cb[s, j]])
+            for s in range(cb.shape[0])
+            for j in range(cb.shape[1])
+        ],
+        "s int, code int, cb_emb array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "codebooks"))
+    coded.write.mode("overwrite").partitionBy("list_id").parquet(
+        _os.path.join(path, "codes")
+    )
+    meta = {"nlist": nlist, "m": m, "kc": kc, "dim": dim, "residual": True}
+    with open(_os.path.join(path, "index_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ivf_pq_topk_from_index(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 10,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    refine: int = PQ_REFINE,
+) -> DataFrame:
+    """Serve top-k from a PERSISTED index (``build_ivf_pq_index``):
+    train-once / query-many. Results are identical to the retrain-per-
+    query ``ivf_pq_topk(residual=True)`` because training is
+    deterministic; the codes scan reads only the probed list
+    partitions (literal filter → partition pruning). ``embeddings`` is
+    still needed for query vectors and the exact-L2 rerank of the
+    ≤refine·Q shortlist."""
+    import json as _json
+    import os as _os
+
+    spark = embeddings.sparkSession
+    with open(_os.path.join(path, "index_meta.json")) as f:
+        meta = _json.load(f)
+    cents = sorted(
+        (int(r["list_id"]), list(r["c_emb"]))
+        for r in spark.read.parquet(_os.path.join(path, "centroids")).collect()
+    )
+    cb_rows = spark.read.parquet(_os.path.join(path, "codebooks")).collect()
+    sub = meta["dim"] // meta["m"]
+    cb = np.zeros((meta["m"], meta["kc"], sub), dtype=np.float64)
+    for r in cb_rows:
+        cb[int(r["s"]), int(r["code"])] = np.asarray(r["cb_emb"], dtype=np.float64)
+    coded = spark.read.parquet(_os.path.join(path, "codes")).select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id"), "codes"
+    )
+    return _query_residual_ivf_pq(
+        embeddings, cents, cb, coded, k, n_queries, nprobe, refine, prune_lists=True
+    )
 
 
 def embedding_dup_pairs(

@@ -407,3 +407,33 @@ def test_ivf_pq_full_probe_equals_pq(tiny_embeddings):
         got_pq.sort_values(["query_id", "rank"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_ivf_pq_persisted_index_train_once_query_many(tiny_embeddings, tmp_path):
+    """build_ivf_pq_index → ivf_pq_topk_from_index must equal the
+    retrain-per-query path exactly (training is deterministic), and
+    repeated queries over one persisted index are identical."""
+    from osm_lib_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivf_pq_index(tiny_embeddings, idx, nlist=4, m=4, kc=4)
+    assert meta["residual"] is True
+
+    direct = sorted(
+        map(tuple, ivf_pq_topk(tiny_embeddings, k=3, n_queries=3, nlist=4, m=4, kc=4, residual=True).collect())
+    )
+    served1 = sorted(map(tuple, ivf_pq_topk_from_index(tiny_embeddings, idx, k=3, n_queries=3).collect()))
+    served2 = sorted(map(tuple, ivf_pq_topk_from_index(tiny_embeddings, idx, k=3, n_queries=3).collect()))
+    assert served1 == direct
+    assert served1 == served2
+
+    # the codes table is hive-partitioned by coarse list (partition
+    # pruning is the serving-scan contract)
+    import os as _os
+
+    parts = [d for d in _os.listdir(_os.path.join(idx, "codes")) if d.startswith("list_id=")]
+    assert len(parts) >= 1
