@@ -484,20 +484,26 @@ def q_events_sessionize_stream(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="sess_stream_gate_")
     events_dir = os.path.join(tmp, "events")
+    out_dir = os.path.join(tmp, "out")
     os.makedirs(events_dir)
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(events_dir, "events.parquet"),
     )
-    rows = []
 
+    # each micro-batch APPENDS to a parquet sink — driver memory stays
+    # O(1) in session count (collecting every closed session into a
+    # python list was unbounded at larger scale factors)
     def sink(batch_df, epoch_id):
-        rows.extend(batch_df.collect())
+        batch_df.write.mode("append").parquet(out_dir)
 
     q = run_session_stream(spark, events_dir, os.path.join(tmp, "ckpt"), sink)
     q.awaitTermination()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, SESS_OUTPUT_SCHEMA)
+    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tmp, "ckpt"), ignore_errors=True)
+    if not os.path.exists(out_dir):  # stream produced no closed sessions
+        return spark.createDataFrame([], SESS_OUTPUT_SCHEMA)
+    return spark.read.schema(SESS_OUTPUT_SCHEMA).parquet(out_dir)
 
 
 def q_text_scrub(spark, sf_dir):

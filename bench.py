@@ -516,7 +516,8 @@ def write_scaling_report(
 
     with open(os.path.join(fixture, "meta.json")) as f:
         fm = _json.load(f)
-    os.makedirs("BENCH", exist_ok=True)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     n_boxes = next(iter(runs.values()))["n_boxes"]
     lines = [
         "# BENCH/BASELINE.md — scaling evidence (two-parallelism substitute)",
@@ -566,7 +567,7 @@ def write_scaling_report(
     # single noisy run on this steal-prone box must never overwrite the
     # accumulated evidence (the criterion is judged over runs, and the
     # spread between runs is the honest error bar)
-    hist_path = os.path.join("BENCH", "scaling_runs.jsonl")
+    hist_path = os.path.join(bench_dir, "scaling_runs.jsonl")
     with open(hist_path, "a") as hf:
         hf.write(
             _json.dumps({"run": None, "pairs": {k: {m: round(v, 3) for m, v in p.items()} for k, p in pairs.items()}})
@@ -607,9 +608,20 @@ def write_scaling_report(
             f"| {b.get('efficiency', float('nan')):.3f} | {b.get('host_cpu_efficiency', float('nan')):.3f} |"
         )
     ceil_low = sum(1 for h in history if h.get("2to8", {}).get("host_cpu_efficiency", 1) < 0.8)
+    quiet = [h for h in history if h.get("2to8", {}).get("host_cpu_efficiency", 0) >= 0.8]
+    q_met = sum(1 for h in quiet if h.get("2to8", {}).get("efficiency", 0) >= 0.8)
+    q_effs = sorted(h.get("2to8", {}).get("efficiency", 0) for h in quiet)
+    q_med = q_effs[len(q_effs) // 2] if q_effs else float("nan")
     lines += [
         "",
-        f"**Criterion ≥ 0.8 at 2→8: met in {met} of {len(history)} recorded runs; "
+        f"**Quiet-host subset (runs whose own 2→8 pure-python calibration "
+        f"scaled ≥ 0.8 — the only runs where the box could even express a "
+        f"passing engine): criterion met in {q_met} of {len(quiet)} runs, "
+        f"median extract efficiency {q_med:.3f}.** Calibration ≥ 0.8 is "
+        "measured BEFORE the timed reps, so steal landing mid-run can still "
+        "depress an individual quiet record.",
+        "",
+        f"**Criterion ≥ 0.8 at 2→8 over ALL runs: met in {met} of {len(history)} recorded runs; "
         f"median extract efficiency {med_eff:.3f}.** "
         + (
             f"In {ceil_low} of {len(history)} runs the PURE-PYTHON host-ceiling "
@@ -647,7 +659,7 @@ def write_scaling_report(
         json.dumps(out["scaling"], indent=1),
         "```",
     ]
-    with open(os.path.join("BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 

@@ -14,7 +14,11 @@ the only exchange carries ≤ one row per contaminated doc-shingle hit,
 never the corpus text. No self-join, no skew (shingle keys only probe
 a broadcast hash set). For benchmark suites too large to broadcast,
 the identical plan degrades gracefully to a shuffled semi-join on the
-shingle hash — same operator, Catalyst picks the strategy from stats.
+shingle hash: the operator no longer FORCES a broadcast hint — with
+AQE on (session default) the runtime sizes the built eval-shingle set
+and picks broadcast-hash when it fits ``autoBroadcastJoinThreshold``,
+shuffled join when it doesn't, instead of OOMing on a forced
+broadcast of an oversized benchmark table.
 
 Shares ``shingles_col`` with the dedup family so the DuckDB oracle's
 shingle CTE reproduces tokenization bit-for-bit.
@@ -58,7 +62,10 @@ def decontaminate(
         corpus.select(
             "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
         )
-        .join(F.broadcast(eval_shingles), "shingle")
+        # no broadcast hint: AQE sizes the distinct eval-shingle set at
+        # runtime and picks broadcast only when it actually fits (a
+        # forced hint would OOM on an oversized benchmark table)
+        .join(eval_shingles, "shingle")
         # shingles_col is already distinct per doc, so count(*) is the
         # distinct shared-shingle count without a count_distinct pass
         .groupBy("doc_id")

@@ -68,6 +68,14 @@ def test_convert_pbf_to_vex_with_speeds_and_txt(spark, tmp_path, capsys):
     # node line grammar: N <id> <lat %2.6f> <lon %3.6f> <tags>
     first = body[0].split(" ", 4)
     assert first[0] == "N" and "." in first[2] and len(first[2].split(".")[1]) == 6
+    # GLOBAL line order must be fully (type rank, id)-sorted — the
+    # TextOutput.java contract. This guards the range-partitioned
+    # orderBy surviving mapInPandas + name-ordered part concatenation
+    # (an optimizer/AQE regression dropping the sort would reorder
+    # lines while leaving the per-line grammar intact).
+    rank = {"N": 0, "W": 1, "R": 2}
+    keys = [(rank[ln[0]], int(ln.split(" ", 2)[1])) for ln in body]
+    assert keys == sorted(keys)
 
 
 def test_convert_rejects_unknown_extension(tmp_path, capsys):
