@@ -1450,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
                   ON comp.doc_id = d.doc_id AND comp.keep = 1
                 JOIN ({_quality_sql()}) q
                   ON q.doc_id = d.doc_id AND q.is_quality = 1
+                 AND q.dup_word_x1000 <= 650 AND q.dup_2gram_x1000 <= 100
                 WHERE {md5_int_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 <
                       CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                                   ELSE 100000 END

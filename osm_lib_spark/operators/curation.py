@@ -36,12 +36,30 @@ def curate_corpus(
     documents: DataFrame,
     rates: dict[str, float],
     default_rate: float = 0.0,
+    max_dup_word_x1000: int = 650,
+    max_dup_2gram_x1000: int = 100,
 ) -> DataFrame:
     """(doc_id, lang): documents surviving dedup-canonical + quality +
-    stratified-sample filters."""
+    repetition + stratified-sample filters.
+
+    The repetition gates are the Gopher-style filters over
+    ``quality_scores``' duplicate-word / duplicate-2-gram fractions
+    (×1000 integers): a doc is dropped when repeated words exceed
+    ``max_dup_word_x1000``‰ or repeated word-2-grams exceed
+    ``max_dup_2gram_x1000``‰. Defaults are tuned to the synthetic
+    fixture's small vocabulary (word repetition runs high there;
+    650/100 each exclude a real slice at gate scale) — production
+    corpora use the published ~300/180 settings via the parameters.
+    """
     survivors = dup_components(documents).where(F.col("keep") == 1).select("doc_id")
     quality = (
-        quality_scores(documents).where(F.col("is_quality") == 1).select("doc_id")
+        quality_scores(documents)
+        .where(
+            (F.col("is_quality") == 1)
+            & (F.col("dup_word_x1000") <= max_dup_word_x1000)
+            & (F.col("dup_2gram_x1000") <= max_dup_2gram_x1000)
+        )
+        .select("doc_id")
     )
     return (
         sample_stratified(documents, rates, default_rate)

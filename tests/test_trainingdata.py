@@ -437,3 +437,26 @@ def test_ivf_pq_persisted_index_train_once_query_many(tiny_embeddings, tmp_path)
 
     parts = [d for d in _os.listdir(_os.path.join(idx, "codes")) if d.startswith("list_id=")]
     assert len(parts) >= 1
+
+
+def test_curate_corpus_repetition_gates(spark):
+    """curate_corpus drops documents whose duplicate-word / dup-2-gram
+    fractions exceed the thresholds, on top of the quality gate."""
+    from osm_lib_spark.operators.curation import curate_corpus
+
+    good = "the quick brown fox jumps over a lazy dog near the river bank"
+    # 12 words, all but one distinct → low repetition, passes quality
+    spam = "the buy now buy now buy now buy now buy now buy now"
+    # 13 words, 4 distinct → dup_word ≈ 692‰ > 650; 2-grams repeat too
+    rows = [(1, good, "en"), (2, spam, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in curate_corpus(docs, rates={"en": 1.0}).collect()}
+    assert 1 in kept and 2 not in kept
+    # loosening the thresholds readmits the spammy doc
+    kept_loose = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, rates={"en": 1.0}, max_dup_word_x1000=1000, max_dup_2gram_x1000=1000
+        ).collect()
+    }
+    assert kept_loose == {1, 2}
