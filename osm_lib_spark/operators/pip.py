@@ -129,8 +129,14 @@ def _pip_contains_udf(
     return pd.Series(out)
 
 
+BROADCAST_TILE_ROWS = 500_000  # polygon-tile rows (~100 MB with rings) that still broadcast
+
+
 def points_in_polygons_bucketed(
-    nodes: DataFrame, polygons: DataFrame, zoom: int = ZOOM
+    nodes: DataFrame,
+    polygons: DataFrame,
+    zoom: int = ZOOM,
+    broadcast_tile_rows: int = BROADCAST_TILE_ROWS,
 ) -> DataFrame:
     """→ (poly_id, node_id): the SCALE path for polygon sets too large
     to broadcast as a closure (the docstring promise at module top).
@@ -142,9 +148,15 @@ def points_in_polygons_bucketed(
     2. explode each polygon to its covering z``zoom`` tiles —
        |P|·avg_covering_tiles rows, distributed, never collected;
     3. points compute their own (xtile, ytile) and EQUI-join the
-       polygon-tile table on the tile key — a plain hash join that
-       shuffles (or broadcasts, when the polygon side is small) on
-       uniform tile keys;
+       polygon-tile table on the tile key. The POLYGON side is always
+       the build side: a cheap polygon-side count picks broadcast-hash
+       when the tile table is ≤ ``broadcast_tile_rows`` (no point
+       shuffles at all) and a SHUFFLE_HASH hint on the polygon side
+       otherwise (both sides hash-exchange on uniform tile keys).
+       Without this the planner can invert the join at toy scale —
+       ``createDataFrame`` polygon sets carry no stats, so Catalyst
+       would broadcast the CORPUS side; a stats-bearing polygon table
+       (Iceberg) gives the same decision for free;
     4. the shared ray-cast kernel filters candidates per bucket inside
        the post-join stage (no second shuffle — the rings ride the
        build side of the join into the same codegen stage).
@@ -222,7 +234,11 @@ def points_in_polygons_bucketed(
         clamp(tile_x_col(F.col("lon"), zoom)).alias("xtile"),
         clamp(tile_y_col(F.col("lat"), zoom)).alias("ytile"),
     )
-    cand = pts.join(ptiles, ["xtile", "ytile"])
+    if ptiles.count() <= broadcast_tile_rows:
+        build = F.broadcast(ptiles)
+    else:
+        build = ptiles.hint("SHUFFLE_HASH")
+    cand = pts.join(build, ["xtile", "ytile"])
     return cand.where(
         _pip_contains_udf(F.col("poly_id"), F.col("lat"), F.col("lon"), F.col("rings"))
     ).select("poly_id", "node_id")
