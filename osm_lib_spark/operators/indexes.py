@@ -111,12 +111,42 @@ def write_way_tiles_store(
     )
 
 
+def way_tiles_bucket_digests(
+    store: DataFrame, buckets: list[int] | None = None
+) -> dict[int, tuple[int, int]]:
+    """{cell_bucket: (row_count, digest)} — digest = bit_xor of
+    xxhash64(canonical row json), the lineage-layer digest rule
+    (plans/lineage.py): order-insensitive, so an incrementally
+    maintained bucket and a rebuilt one are comparable WITHOUT reading
+    either side's rows."""
+    d = store
+    if buckets is not None:
+        d = d.where(F.col("cell_bucket").isin([int(b) for b in buckets]))
+    rows = (
+        d.withColumn(
+            "_digest_src",
+            F.xxhash64(
+                F.to_json(F.struct("xtile", "ytile", "way_id", "cell_key"))
+            ),
+        )
+        .groupBy("cell_bucket")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.expr("bit_xor(_digest_src)").alias("digest"),
+        )
+        .collect()
+    )
+    return {int(r["cell_bucket"]): (int(r["row_count"]), int(r["digest"])) for r in rows}
+
+
 def update_way_tiles_store(
     path: str,
     nodes_new: DataFrame,
     ways_new: DataFrame,
     changed_way_ids: DataFrame,
     bucket_shift: int = WAY_TILES_BUCKET_SHIFT,
+    lineage=None,
+    job_id: str | None = None,
 ) -> dict:
     """Incrementally maintain a persisted way_tiles store after a
     change batch (ST3 deferred re-index, end-to-end): recompute tile
@@ -135,6 +165,11 @@ def update_way_tiles_store(
 
     A dirty bucket whose rewritten content is EMPTY is deleted
     explicitly (dynamic overwrite only replaces partitions it writes).
+    With ``lineage`` (a plans.lineage.LineageLog) each rewritten
+    bucket appends a lineage row (partition_id = bucket, cell range =
+    the bucket's fixed Hilbert interval, row_count, xxhash64-bit_xor
+    digest) — so an auditor verifies incremental == rebuild from
+    digests alone, per the checkpoint/lineage contract.
     Returns {"dirty_buckets": [...], "rewritten_rows": n}.
     """
     import shutil
@@ -183,6 +218,28 @@ def update_way_tiles_store(
     for b in dirty:
         if b not in written_buckets:
             shutil.rmtree(os.path.join(path, f"cell_bucket={b}"), ignore_errors=True)
+    if lineage is not None:
+        import time as _time
+        import uuid as _uuid
+
+        jid = job_id or f"wt_update_{_uuid.uuid4().hex[:8]}"
+        digests = way_tiles_bucket_digests(spark.read.parquet(path), dirty)
+        now = _time.time()
+        lineage.append(
+            [
+                dict(
+                    job_id=jid,
+                    stage="way_tiles_update",
+                    partition_id=int(b),
+                    cell_min=int(b) << bucket_shift,
+                    cell_max=((int(b) + 1) << bucket_shift) - 1,
+                    row_count=digests.get(int(b), (0, 0))[0],
+                    digest=digests.get(int(b), (0, 0))[1],
+                    committed_at=now,
+                )
+                for b in dirty
+            ]
+        )
     return {"dirty_buckets": [int(b) for b in dirty], "rewritten_rows": int(n)}
 
 

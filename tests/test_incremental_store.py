@@ -84,7 +84,10 @@ def test_incremental_equals_rebuild(spark, xs_entities, tmp_path_factory):
         .distinct()
     )
 
-    res = update_way_tiles_store(store_path, nodes2, ways2, changed)
+    from osm_lib_spark.plans.lineage import LineageLog
+
+    log = LineageLog(str(tmp_path_factory.mktemp("lin")))
+    res = update_way_tiles_store(store_path, nodes2, ways2, changed, lineage=log)
     assert res["dirty_buckets"], "the change batch must dirty some buckets"
 
     # equality with a from-scratch rebuild
@@ -102,6 +105,27 @@ def test_incremental_equals_rebuild(spark, xs_entities, tmp_path_factory):
             assert after.get(d) == files, f"clean bucket {d} was rewritten"
     # and per-bucket contents agree with the rebuild bucket-for-bucket
     assert set(after) == set(_store_files(rebuild_path))
+
+    # lineage digest audit: the appended per-bucket digests must equal
+    # the rebuilt store's digests for the same buckets — incremental ==
+    # rebuild is checkable from lineage rows alone
+    from osm_lib_spark.operators.indexes import way_tiles_bucket_digests
+
+    lin = log.read()
+    lin_digests = {
+        int(r.partition_id): (int(r.row_count), int(r.digest))
+        for r in lin.itertuples()
+        if r.stage == "way_tiles_update"
+    }
+    rebuild_digests = way_tiles_bucket_digests(
+        spark.read.parquet(rebuild_path), res["dirty_buckets"]
+    )
+    for b in res["dirty_buckets"]:
+        assert lin_digests[b] == rebuild_digests.get(b, (0, 0)), f"bucket {b} digest"
+    # cell ranges are the fixed Hilbert intervals
+    for r in lin.itertuples():
+        assert r.cell_min == r.partition_id << 14
+        assert r.cell_max == ((r.partition_id + 1) << 14) - 1
 
     # the affected-tile set (cache invalidation granularity) covers the
     # dirty buckets' tiles change
