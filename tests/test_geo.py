@@ -74,6 +74,16 @@ def test_knn_kring_matches_brute_force(nodes_xs, meta_xs):
     )
     pd.testing.assert_frame_equal(brute, ring_r0, check_dtype=False)
 
+    # executor-side accumulation path (forced: driver_collect_max_q=0)
+    # must be exactly equal too — same rounds, different result plumbing
+    ring_exec = (
+        knn_kring(nodes_xs, pts, k=10, driver_collect_max_q=0)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, ring_exec, check_dtype=False)
+
 
 def test_ring_bound_is_lower_bound_high_lat():
     """_min_dist_beyond_ring must LOWER-bound the distance to every
