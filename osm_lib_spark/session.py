@@ -39,11 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let AQE coalesce partitions of plans that feed a persist():
-        # without this a cached tiny frame pins the full
-        # shuffle-partition fan-out (every later read pays ~32 empty
-        # tasks; measured on the knn per-round result caches)
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # NOTE: canChangeCachedPlanOutputPartitioning was tried (lets
+        # AQE coalesce tiny persisted frames, e.g. knn round results)
+        # and REVERTED: it also re-plans the big cached entity tables
+        # and cost the headline extract batch ~1s (A/B: 6.73 vs 5.64
+        # median at sf0.1). The knn small-batch path collects instead
+        # of persisting, so the conf no longer buys anything.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
