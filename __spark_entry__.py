@@ -1860,19 +1860,25 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS resized_sig
                 FROM m
             """,
-            # full recomputation of the 1→N frame fan-out: the same
-            # deterministic frame count and every-5th sampling
+            # full recomputation of the 1→N frame fan-out from the
+            # DECODED payload's closed form: clip length = 10 + (w·h)%40
+            # and frame_sig = sum(channel0)·64 + frame_idx, with w/h/b0
+            # re-derived from md5(ref) exactly as synth_payload embeds
+            # them — the engine side decodes real PNG bytes to get the
+            # same numbers, so row count AND values check the decoder
             "media_frames": f"""
                 WITH vids AS (
                     SELECT doc_id, (s).media_ref AS media_ref,
-                           10 + CAST(('0x' || substr(md5((s).media_ref), 1, 8)) AS BIGINT) % 40 AS n_frames
+                           CAST(('0x' || substr(md5((s).media_ref), 1, 2)) AS BIGINT) % 128 AS b0,
+                           8 + CAST(('0x' || substr(md5((s).media_ref), 7, 2)) AS BIGINT) % 25 AS w,
+                           8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h
                     FROM {_SPANS}
                     WHERE (s).kind = 'media'
                 )
                 SELECT doc_id, media_ref,
                        CAST(f AS INT) AS frame_idx,
-                       CAST(('0x' || substr(md5(media_ref || '#frame' || CAST(f AS VARCHAR)), 1, 15)) AS BIGINT) AS frame_sig
-                FROM vids, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS t(f)
+                       CAST((w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)) * 64 + f AS BIGINT) AS frame_sig
+                FROM vids, UNNEST(generate_series(0, CAST(10 + (w*h) % 40 - 1 AS BIGINT), 5)) AS t(f)
             """,
         }
     )

@@ -167,31 +167,35 @@ def sample_frames(
     """Frame sampling: ONE media row fans out to MANY frame rows (the
     1→N mapInPandas shape a real pyav sampler has). ``media_kind``
     restricts to e.g. 'video' refs; None samples every media span
-    (the synthetic fixtures carry img refs only — the fan-out plumbing
-    is what's exercised and gated).
+    (the synthetic fixtures carry img refs only).
 
-    STUB semantics: the 'clip length' is a deterministic function of
-    the ref (10 + md5₈(ref) mod 40 frames); every ``every_n``-th frame
-    is emitted with an md5-derived frame signature — all recomputable
-    in SQL, so the fan-out plumbing itself is oracle-gated.
+    The fan-out is driven by the DECODED payload, not the ref string:
+    the 'clip length' is 10 + (w·h) % 40 frames with (w, h) read from
+    the decoded image, and every sampled frame's signature is
+    sum(channel 0)·64 + frame_idx — so a decoder bug changes both the
+    ROW COUNT and the values, and the oracle (which re-derives w/h and
+    the pixel sum from the synthetic payload's closed form) catches
+    either.
     """
-    media = explode_spans(docs).where(F.col("kind") == "media")
+    pay = media_payloads(docs)
     if media_kind is not None:
-        media = media.where(F.col("media_ref").contains(f"://{media_kind}/"))
-    media = media.select("doc_id", "media_ref")
+        pay = pay.where(F.col("media_ref").contains(f"://{media_kind}/"))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "media_ref": [], "frame_idx": [], "frame_sig": []}
-            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
-                n_frames = 10 + int(hashlib.md5(ref.encode()).hexdigest()[:8], 16) % 40
+            for doc_id, ref, raw in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                img = png_decode(bytes(raw))
+                h, w = img.shape[:2]
+                sum_c0 = int(img[:, :, 0].astype(np.int64).sum())
+                n_frames = 10 + (w * h) % 40
                 for idx in range(0, n_frames, every_n):
                     rows["doc_id"].append(doc_id)
                     rows["media_ref"].append(ref)
                     rows["frame_idx"].append(idx)
-                    rows["frame_sig"].append(
-                        int(hashlib.md5(f"{ref}#frame{idx}".encode()).hexdigest()[:15], 16)
-                    )
+                    rows["frame_sig"].append(sum_c0 * 64 + idx)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+    return pay.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -187,6 +187,17 @@ def test_media_decode_real_pixels(docs_xs):
     decoded = png_decode(bytes(prow.payload))
     assert decoded.dtype.name == "uint8" and decoded.ndim == 3
 
+    # frame fan-out is decode-driven: clip length and frame sigs derive
+    # from the decoded dims / pixel sum
+    from osm_lib_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(docs_xs).where(F.col("media_ref") == frow.media_ref)
+    got = sorted((r.frame_idx, r.frame_sig) for r in frames.collect())
+    h, w = img.shape[:2]
+    s0 = int(img[:, :, 0].astype(np.int64).sum())
+    exp = [(i, s0 * 64 + i) for i in range(0, 10 + (w * h) % 40, 5)]
+    assert got == exp
+
 
 def test_png_codec_roundtrip_all_filters():
     """From-scratch PNG codec: encode/decode must be exact for every
