@@ -248,3 +248,62 @@ def test_vex_way_blocks_roundtrip_property(ways, max_bytes):
         back_refs += [list(r) for r in df["node_ids"]]
     assert back_ids == [w[0] for w in ways]
     assert back_refs == [list(w[1]) for w in ways]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.booleans(),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, rgb, filter_type, seed):
+    """png_decode(png_encode(img, ft)) == img for ANY uint8 image and
+    every filter type."""
+    from osm_lib_spark.functions.png import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = png_decode(png_encode(img, filter_type=filter_type))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_png_decode_rejects_garbage(data):
+    """Arbitrary bytes must raise ValueError (or decode, if they happen
+    to be a valid PNG) — never crash, hang, or return garbage silently."""
+    from osm_lib_spark.functions.png import png_decode
+
+    try:
+        png_decode(data)
+    except ValueError:
+        pass
+    except Exception as ex:  # zlib/struct errors from truncated chunks
+        import struct
+        import zlib
+
+        assert isinstance(ex, (zlib.error, struct.error)), ex
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_png_decode_corrupted_tail(tail):
+    """A valid PNG with appended/replaced tail bytes either still
+    decodes to the SAME image (extra bytes after IEND are ignorable) or
+    raises cleanly — it must never return different pixels."""
+    from osm_lib_spark.functions.png import png_decode, png_encode
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = png_encode(img)
+    import struct
+    import zlib
+
+    try:
+        back = png_decode(good + tail)
+    except (ValueError, zlib.error, struct.error):
+        return
+    assert (back == img).all()
