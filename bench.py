@@ -243,6 +243,23 @@ def run_suite(spark, sf_dir: str) -> dict:
     extras["vex_decode_entities_per_sec"] = vex_entities / timings["vex_decode"]
     extras["vex_encode_entities_per_sec"] = vex_entities / timings["vex_encode"]
 
+    # -- bucketed point-in-polygon (the many-polygon scale path): 500
+    # grid polygons explode to covering z12 tiles, 1M nodes equi-join
+    # on the tile key, per-bucket ray cast
+    from osm_lib_spark.operators.pip import (
+        grid_polygons,
+        points_in_polygons_bucketed,
+        polygons_df,
+    )
+
+    pip_centers = [(float(p[1]), float(p[2])) for p in meta["knn_points"][:2]]
+    pip_polys = polygons_df(spark, grid_polygons(pip_centers))
+    pip_rows = timed3(
+        "pip_bucketed",
+        lambda: points_in_polygons_bucketed(nodes, pip_polys).count(),
+    )
+    extras["pip_bucketed_rows"] = pip_rows
+
     # -- training-data ops on the driver tables (same single-file split
     # problem: spread rows across the cluster width)
     documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(width)

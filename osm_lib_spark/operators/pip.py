@@ -235,10 +235,53 @@ def points_in_polygons_bucketed(
         clamp(tile_y_col(F.col("lat"), zoom)).alias("ytile"),
     )
     if ptiles.count() <= broadcast_tile_rows:
-        build = F.broadcast(ptiles)
-    else:
-        build = ptiles.hint("SHUFFLE_HASH")
-    cand = pts.join(build, ["xtile", "ytile"])
+        # broadcast regime: the tile table broadcasts WITHOUT the rings
+        # column, and ring geometry ships ONCE PER EXECUTOR as a Spark
+        # broadcast variable instead of riding every candidate row —
+        # at 1M nodes × 500 polygons the per-row rings payload through
+        # Arrow was the dominant cost (measured 6.9s → see PLANS §14;
+        # the collect is bounded by the same threshold that justifies
+        # the broadcast)
+        spark = polygons.sparkSession
+        ring_rows = polygons.select("poly_id", "rings").collect()
+        ring_map = {
+            int(r["poly_id"]): [
+                np.stack([np.asarray(v, dtype=np.float64) for v in ring])
+                for ring in r["rings"]
+            ]
+            for r in ring_rows
+        }
+        bc = spark.sparkContext.broadcast(ring_map)
+
+        @F.pandas_udf(T.BooleanType())
+        def contains_bc(poly_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+            rings_by_pid = bc.value
+            la = lat.to_numpy(dtype=np.float64)
+            lo = lon.to_numpy(dtype=np.float64)
+            out = np.zeros(len(la), dtype=bool)
+            pid = poly_id.to_numpy()
+            order = np.argsort(pid, kind="stable")
+            sp = pid[order]
+            starts = (
+                np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+                if len(sp)
+                else np.array([], dtype=int)
+            )
+            bounds = np.r_[starts, len(order)]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                ii = order[a:b]
+                inside = np.zeros(len(ii), dtype=bool)
+                for ring_arr in rings_by_pid[int(sp[a])]:
+                    inside ^= ray_cast_contains(ring_arr, la[ii], lo[ii])
+                out[ii] = inside
+            return pd.Series(out)
+
+        cand = pts.join(F.broadcast(ptiles.drop("rings")), ["xtile", "ytile"])
+        return cand.where(
+            contains_bc(F.col("poly_id"), F.col("lat"), F.col("lon"))
+        ).select("poly_id", "node_id")
+
+    cand = pts.join(ptiles.hint("SHUFFLE_HASH"), ["xtile", "ytile"])
     return cand.where(
         _pip_contains_udf(F.col("poly_id"), F.col("lat"), F.col("lon"), F.col("rings"))
     ).select("poly_id", "node_id")
