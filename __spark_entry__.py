@@ -1826,59 +1826,85 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells GROUP BY cell8
             """,
             # the three 1:1 per-media stages recomputed in one SELECT.
-            # The engine DECODES real PNG payloads; the oracle instead
-            # derives the same pixel sums from the synthetic payload's
-            # closed form — pixel[y,x,c] = base_c + x + y with
-            # (base_c, w, h) from md5(ref) bytes (multimodal.synth_payload)
-            # — so Σ channel_c = w·h·base_c + h·Σx + w·Σy, and the
-            # 224×224 nearest-neighbor resize sum uses the same floor
-            # index map (src = (dst·in)//224) summed over range(224).
-            # A decoder or resampler bug on the engine side breaks this
-            # hash; the oracle never runs the decoder.
+            # The engine sniffs the container magic and DECODES real
+            # PNG/WAV payloads; the oracle instead derives the same
+            # sums from each synthetic payload's closed form —
+            # img: pixel[y,x,c] = base_c + x + y with (base_c, w, h)
+            # from md5(ref) bytes, so Σ channel_c = w·h·base_c + h·Σx
+            # + w·Σy and the 224×224 nearest resize uses the same floor
+            # index map (src = (dst·in)//224) summed over range(224);
+            # audio: sample[i] = base_0 + (i%64) over n = 64·(13+b4%25)
+            # samples, so Σ = n·b0 + (n/64)·2016, max = b0 + 63, and
+            # the 224-sample nearest resample sums (i·n//224) % 64.
+            # A codec or resampler bug on the engine side breaks this
+            # hash; the oracle never runs a decoder.
             "media_pipeline": f"""
                 WITH m AS (
                     SELECT doc_id, (s).media_ref AS media_ref,
+                           split_part(split_part((s).media_ref, '://', 2), '/', 1) AS kind,
                            CAST(('0x' || substr(md5((s).media_ref), 1, 2)) AS BIGINT) % 128 AS b0,
                            CAST(('0x' || substr(md5((s).media_ref), 3, 2)) AS BIGINT) % 128 AS b1,
                            8 + CAST(('0x' || substr(md5((s).media_ref), 7, 2)) AS BIGINT) % 25 AS w,
-                           8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h
+                           8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h,
+                           64 * (13 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25) AS n
                     FROM {_SPANS} WHERE (s).kind = 'media'
                 )
                 SELECT doc_id, media_ref,
                        split_part(media_ref, '://', 1) AS scheme,
-                       split_part(split_part(media_ref, '://', 2), '/', 1) AS media_kind,
+                       kind AS media_kind,
                        CAST(split_part(split_part(media_ref, '://', 2), '/', 2) AS BIGINT) AS media_id,
                        substr(md5(media_ref), 1, 16) AS sig,
-                       CAST(w AS BIGINT) AS f0,
-                       CAST(h AS BIGINT) AS f1,
-                       CAST(w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS f2,
-                       CAST(w*h*b1 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS f3,
-                       CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
-                       CAST(224*224*b0
-                            + 224*(SELECT SUM((t.x * m.w) // 224) FROM range(0, 224) t(x))
-                            + 224*(SELECT SUM((t.y * m.h) // 224) FROM range(0, 224) t(y))
-                            AS BIGINT) AS resized_sig
+                       CAST(CASE WHEN kind = 'img' THEN w ELSE n END AS BIGINT) AS f0,
+                       CAST(CASE WHEN kind = 'img' THEN h ELSE 8000 END AS BIGINT) AS f1,
+                       CAST(CASE WHEN kind = 'img'
+                                 THEN w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                                 ELSE n*b0 + (n//64)*2016 END AS BIGINT) AS f2,
+                       CAST(CASE WHEN kind = 'img'
+                                 THEN w*h*b1 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                                 ELSE b0 + 63 END AS BIGINT) AS f3,
+                       CAST(224 AS INT) AS width,
+                       CAST(CASE WHEN kind = 'img' THEN 224 ELSE 1 END AS INT) AS height,
+                       CAST(CASE WHEN kind = 'img'
+                                 THEN 224*224*b0
+                                      + 224*(SELECT SUM((t.x * m.w) // 224) FROM range(0, 224) t(x))
+                                      + 224*(SELECT SUM((t.y * m.h) // 224) FROM range(0, 224) t(y))
+                                 ELSE 224*b0
+                                      + (SELECT SUM(((t.x * m.n) // 224) % 64) FROM range(0, 224) t(x))
+                            END AS BIGINT) AS resized_sig
                 FROM m
             """,
             # full recomputation of the 1→N frame fan-out from the
-            # DECODED payload's closed form: clip length = 10 + (w·h)%40
-            # and frame_sig = sum(channel0)·64 + frame_idx, with w/h/b0
-            # re-derived from md5(ref) exactly as synth_payload embeds
-            # them — the engine side decodes real PNG bytes to get the
-            # same numbers, so row count AND values check the decoder
+            # DECODED payload's closed form: clip length = 10+(w·h)%40
+            # frames (img) or 10 + n%40 windows (audio), frame_sig =
+            # decoded-sum·64 + frame_idx — with w/h/n/b0 re-derived
+            # from md5(ref) exactly as synth_payload embeds them. The
+            # engine side sniffs + decodes real PNG/WAV bytes to get
+            # the same numbers, so row count AND values check both
+            # codecs.
             "media_frames": f"""
-                WITH vids AS (
+                WITH m AS (
                     SELECT doc_id, (s).media_ref AS media_ref,
+                           split_part(split_part((s).media_ref, '://', 2), '/', 1) AS kind,
                            CAST(('0x' || substr(md5((s).media_ref), 1, 2)) AS BIGINT) % 128 AS b0,
                            8 + CAST(('0x' || substr(md5((s).media_ref), 7, 2)) AS BIGINT) % 25 AS w,
-                           8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h
+                           8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h,
+                           64 * (13 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25) AS n
                     FROM {_SPANS}
                     WHERE (s).kind = 'media'
+                ),
+                clips AS (
+                    SELECT doc_id, media_ref,
+                           CASE WHEN kind = 'img'
+                                THEN w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                                ELSE n*b0 + (n//64)*2016 END AS sig_base,
+                           CASE WHEN kind = 'img' THEN 10 + (w*h) % 40
+                                ELSE 10 + n % 40 END AS n_frames
+                    FROM m
                 )
                 SELECT doc_id, media_ref,
                        CAST(f AS INT) AS frame_idx,
-                       CAST((w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)) * 64 + f AS BIGINT) AS frame_sig
-                FROM vids, UNNEST(generate_series(0, CAST(10 + (w*h) % 40 - 1 AS BIGINT), 5)) AS t(f)
+                       CAST(sig_base * 64 + f AS BIGINT) AS frame_sig
+                FROM clips, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS t(f)
             """,
         }
     )

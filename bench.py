@@ -260,6 +260,21 @@ def run_suite(spark, sf_dir: str) -> dict:
     )
     extras["pip_bucketed_rows"] = pip_rows
 
+    # -- real media decode (PNG/WAV: container magic sniff + the
+    # from-scratch codecs inside mapInPandas): media items/sec. The
+    # payload "fetch" is the synthetic writer — itself a real zlib PNG
+    # encode / RIFF PCM encode per item — so the row times fetch+decode
+    # +feature-extract, the shape of a production object-store+libvips
+    # stage. Fan-out row: frame/window sampling from the decoded bytes.
+    from osm_lib_spark.operators.multimodal import decode_media_features, sample_frames
+
+    media_docs = docs.repartition(width)
+    n_media = timed3(
+        "media_decode", lambda: decode_media_features(media_docs).count()
+    )
+    extras["media_items_per_sec"] = n_media / timings["media_decode"]
+    timed3("media_frames", lambda: sample_frames(media_docs).count())
+
     # -- training-data ops on the driver tables (same single-file split
     # problem: spread rows across the cluster width)
     documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(width)

@@ -2,20 +2,26 @@
 
 Media spans are opaque references (``media_ref``); the binary payload
 is a sibling ``binary`` column materialized by ``media_payloads`` (at
-scale: an object-store fetch keyed by the ref — here a deterministic
-synthetic PNG writer stands in for the fetch, clearly marked). The
-DECODE is REAL: ``functions/png.py`` is a from-scratch PNG codec
-(signature/chunk/CRC walk, zlib inflate, all five row filters, pure
-numpy — no PIL in this container), so ``decode_media_features`` and
-``resize_media`` actually parse compressed image bytes per Arrow batch
-and compute features / resized signatures FROM DECODED PIXELS.
+scale: an object-store fetch keyed by the ref — here deterministic
+synthetic PNG/WAV writers stand in for the fetch, clearly marked). The
+DECODE is REAL for both modalities: ``functions/png.py`` is a
+from-scratch PNG codec (signature/chunk/CRC walk, zlib inflate, all
+five row filters) and ``functions/wav.py`` a from-scratch RIFF/WAVE
+PCM parser (chunk walk, fmt validation, vectorized sample decode) —
+pure numpy, no PIL/soundfile in this container. Every downstream
+stage sniffs the CONTAINER MAGIC (\\x89PNG vs RIFF) rather than
+trusting the ref string, exactly as a production decoder must, then
+computes features / resize-resample signatures / frame fan-outs FROM
+DECODED SAMPLES.
 
-Oracle-checkability: the synthetic payload for a ref is a w×h RGB
-gradient pixel[y,x,c] = base_c + x + y with (base_c, w, h) read from
-md5(ref) bytes — so per-channel pixel SUMS have closed forms the
-DuckDB oracle recomputes from md5 alone. If the decoder (or resize)
-mis-reads even one pixel, the gate hash breaks: the decode path itself
-is end-to-end verified, not just the plumbing.
+Oracle-checkability: the synthetic image payload for a ref is a w×h
+RGB gradient pixel[y,x,c] = base_c + x + y and the synthetic audio
+payload a PCM16 sawtooth sample[i] = base + (i % 64), with
+(base_c, w, h, n) read from md5(ref) bytes — so pixel and sample SUMS
+have closed forms the DuckDB oracle recomputes from md5 alone. If
+either decoder (or the resize/resample) mis-reads even one value, the
+gate hash breaks: both decode paths are end-to-end verified, not just
+the plumbing.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_lib_spark.functions.png import png_decode, png_encode, resize_nearest
+from osm_lib_spark.functions.wav import resample_nearest, wav_decode, wav_encode
 from osm_lib_spark.sources.span_codec import explode_spans
 
 N_FEATURES = 4
@@ -60,21 +67,48 @@ def media_catalog(docs: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_RATE = 8000
+
+
 def synth_payload(ref: str) -> bytes:
-    """Deterministic 'object-store fetch' stand-in: the payload for a
-    ref is a real zlib-compressed PNG of a w×h RGB gradient with
-    pixel[y, x, c] = base_c + x + y, where (base_0..2, w, h) come from
-    md5(ref) bytes 0-4 (base_c = byte_c % 128, dims = 8 + byte % 25;
-    max pixel value 127+31+31 = 189 < 256, no wraparound — per-channel
-    sums therefore have md5-derivable closed forms the oracle checks).
-    At scale this function is the only thing a production build
-    replaces (S3/GCS ranged GET by ref)."""
+    """Deterministic 'object-store fetch' stand-in, keyed by the ref's
+    media kind (``media://img/...`` vs ``media://audio/...``):
+
+    - img: a real zlib-compressed PNG of a w×h RGB gradient with
+      pixel[y, x, c] = base_c + x + y, where (base_0..2, w, h) come
+      from md5(ref) bytes 0-4 (base_c = byte_c % 128,
+      dims = 8 + byte % 25; max pixel value 127+31+31 = 189 < 256, no
+      wraparound).
+    - audio: a real RIFF/WAVE PCM16 mono sawtooth with
+      sample[i] = base_0 + (i % 64) at 8 kHz, n = 64·(13 + byte_4 % 25)
+      samples — Σ samples = n·base_0 + (n/64)·2016 exactly.
+
+    Both content rules have md5-derivable closed forms the oracle
+    checks. At scale this function is the only thing a production
+    build replaces (S3/GCS ranged GET by ref)."""
     d = hashlib.md5(ref.encode()).digest()
+    if "://audio/" in ref:
+        base = d[0] % 128
+        n = 64 * (13 + d[4] % 25)
+        samples = (base + (np.arange(n) % 64)).astype(np.int16)
+        return wav_encode(samples, AUDIO_RATE)
     base = [d[0] % 128, d[1] % 128, d[2] % 128]
     w, h = 8 + d[3] % 25, 8 + d[4] % 25
     yy, xx = np.mgrid[0:h, 0:w]
     img = np.stack([b + xx + yy for b in base], axis=2).astype(np.uint8)
     return png_encode(img)
+
+
+def decode_payload(raw: bytes):
+    """Sniff the container magic and decode: ('img', uint8 hxwx3) or
+    ('audio', (int16 samples, rate)). Production decoders route on
+    content, not on the ref string — a mislabeled ref must fail loudly
+    in the codec, not silently decode as the wrong modality."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return "img", png_decode(raw)
+    if raw[:4] == b"RIFF":
+        return "audio", wav_decode(raw)
+    raise ValueError(f"unknown media container (magic {raw[:4]!r})")
 
 
 PAYLOAD_SCHEMA = "doc_id string, media_ref string, payload binary, n_bytes long"
@@ -102,15 +136,21 @@ def media_payloads(docs: DataFrame) -> DataFrame:
 
 
 def decode_media_features(docs: DataFrame) -> DataFrame:
-    """REAL media decode: (doc_id, media_ref, f0..f3) where f0/f1 are
-    the decoded image's width/height (from the PNG IHDR) and f2/f3 are
-    the pixel SUMS of channels 0/1 of the decoded array — recomputed by
-    the oracle from the synthetic payload's closed form, so a decoder
-    bug breaks the gate hash.
+    """REAL media decode: (doc_id, media_ref, f0..f3), modality-typed
+    by the sniffed container —
+
+    - img (PNG): f0/f1 = decoded width/height (from the IHDR), f2/f3 =
+      pixel SUMS of channels 0/1 of the decoded array.
+    - audio (WAV): f0 = decoded sample count, f1 = sample rate (from
+      the fmt chunk), f2 = SUM of samples, f3 = max sample.
+
+    All four are recomputed by the oracle from the synthetic payload's
+    closed form, so a bug in EITHER codec breaks the gate hash.
 
     mapInPandas partition-iterator: each Arrow batch fetches payload
-    bytes and decodes them (zlib inflate + unfilter per image, numpy)
-    — the exact batching shape of a PIL/libvips decoder.
+    bytes and decodes them (zlib inflate + unfilter per image; RIFF
+    chunk walk + PCM frame decode per clip) — the exact batching shape
+    of a PIL/libsndfile decoder.
     """
     pay = media_payloads(docs)
 
@@ -119,11 +159,18 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
             out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
             f0, f1, f2, f3 = [], [], [], []
             for raw in pdf["payload"]:
-                img = png_decode(bytes(raw))
-                f0.append(img.shape[1])
-                f1.append(img.shape[0])
-                f2.append(int(img[:, :, 0].astype(np.int64).sum()))
-                f3.append(int(img[:, :, 1].astype(np.int64).sum()))
+                kind, decoded = decode_payload(bytes(raw))
+                if kind == "img":
+                    f0.append(decoded.shape[1])
+                    f1.append(decoded.shape[0])
+                    f2.append(int(decoded[:, :, 0].astype(np.int64).sum()))
+                    f3.append(int(decoded[:, :, 1].astype(np.int64).sum()))
+                else:
+                    samples, rate = decoded
+                    f0.append(samples.shape[0])
+                    f1.append(rate)
+                    f2.append(int(samples.astype(np.int64).sum()))
+                    f3.append(int(samples.max()))
             out["f0"], out["f1"], out["f2"], out["f3"] = f0, f1, f2, f3
             yield out
 
@@ -134,10 +181,17 @@ RESIZE_SCHEMA = "doc_id string, media_ref string, width int, height int, resized
 
 
 def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """REAL image resize: decode the payload, nearest-neighbor resample
-    to (width, height) by integer index mapping (src = (dst·in)//out),
-    and sign the result with the channel-0 pixel sum of the RESIZED
-    array — which the oracle recomputes in SQL from the synthetic
+    """REAL shape normalization — the stage a training pipeline runs to
+    make every media item a fixed-size tensor:
+
+    - img: nearest-neighbor resize to (width, height) by integer index
+      mapping (src = (dst·in)//out), signed with the channel-0 pixel
+      sum of the RESIZED array.
+    - audio: nearest-neighbor resample to a fixed ``width`` samples
+      (the 1-D analog, same floor index map; ``height`` is reported as
+      1), signed with the sum of the RESAMPLED clip.
+
+    The oracle recomputes both signatures in SQL from the synthetic
     payload's closed form plus the same floor index map. A wrong
     resample (off-by-one index math, wrong rounding) breaks the hash.
     """
@@ -146,12 +200,21 @@ def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFr
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
-            sigs = []
+            widths, heights, sigs = [], [], []
             for raw in pdf["payload"]:
-                resized = resize_nearest(png_decode(bytes(raw)), width, height)
-                sigs.append(int(resized[:, :, 0].astype(np.int64).sum()))
-            out["width"] = width
-            out["height"] = height
+                kind, decoded = decode_payload(bytes(raw))
+                if kind == "img":
+                    resized = resize_nearest(decoded, width, height)
+                    widths.append(width)
+                    heights.append(height)
+                    sigs.append(int(resized[:, :, 0].astype(np.int64).sum()))
+                else:
+                    resampled = resample_nearest(decoded[0], width)
+                    widths.append(width)
+                    heights.append(1)
+                    sigs.append(int(resampled.astype(np.int64).sum()))
+            out["width"] = widths
+            out["height"] = heights
             out["resized_sig"] = sigs
             yield out
 
@@ -170,12 +233,13 @@ def sample_frames(
     (the synthetic fixtures carry img refs only).
 
     The fan-out is driven by the DECODED payload, not the ref string:
-    the 'clip length' is 10 + (w·h) % 40 frames with (w, h) read from
-    the decoded image, and every sampled frame's signature is
-    sum(channel 0)·64 + frame_idx — so a decoder bug changes both the
-    ROW COUNT and the values, and the oracle (which re-derives w/h and
-    the pixel sum from the synthetic payload's closed form) catches
-    either.
+    an image's 'clip length' is 10 + (w·h) % 40 frames with (w, h)
+    read from the decoded image and frame signature
+    sum(channel 0)·64 + frame_idx; an audio clip's window count is
+    10 + n_samples % 40 with signature sum(samples)·64 + frame_idx —
+    so a bug in either codec changes both the ROW COUNT and the
+    values, and the oracle (which re-derives w/h/n and the sums from
+    the synthetic payload's closed form) catches either.
     """
     pay = media_payloads(docs)
     if media_kind is not None:
@@ -187,15 +251,20 @@ def sample_frames(
             for doc_id, ref, raw in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
-                img = png_decode(bytes(raw))
-                h, w = img.shape[:2]
-                sum_c0 = int(img[:, :, 0].astype(np.int64).sum())
-                n_frames = 10 + (w * h) % 40
+                kind, decoded = decode_payload(bytes(raw))
+                if kind == "img":
+                    h, w = decoded.shape[:2]
+                    sig_base = int(decoded[:, :, 0].astype(np.int64).sum())
+                    n_frames = 10 + (w * h) % 40
+                else:
+                    samples, _rate = decoded
+                    sig_base = int(samples.astype(np.int64).sum())
+                    n_frames = 10 + samples.shape[0] % 40
                 for idx in range(0, n_frames, every_n):
                     rows["doc_id"].append(doc_id)
                     rows["media_ref"].append(ref)
                     rows["frame_idx"].append(idx)
-                    rows["frame_sig"].append(sum_c0 * 64 + idx)
+                    rows["frame_sig"].append(sig_base * 64 + idx)
             yield pd.DataFrame(rows)
 
     return pay.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -307,3 +307,41 @@ def test_png_decode_corrupted_tail(tail):
     except (ValueError, zlib.error, struct.error):
         return
     assert (back == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=192000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_property(n, channels, rate, seed):
+    """wav_decode(wav_encode(x)) == x for ANY int16 signal, channel
+    count, and sample rate (odd byte counts exercise the RIFF pad)."""
+    from osm_lib_spark.functions.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (n,) if channels == 1 else (n, channels)
+    samples = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+    back, back_rate = wav_decode(wav_encode(samples, rate))
+    assert back_rate == rate
+    assert back.shape == samples.shape
+    assert (back == samples).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_wav_decode_rejects_garbage(data):
+    """Arbitrary bytes must raise ValueError (or decode, if they happen
+    to be a valid WAV) — never crash, hang, or return garbage silently."""
+    import struct
+
+    from osm_lib_spark.functions.wav import wav_decode
+
+    try:
+        wav_decode(data)
+    except ValueError:
+        pass
+    except struct.error:
+        pass  # truncated fmt chunk

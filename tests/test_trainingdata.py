@@ -169,12 +169,12 @@ def test_media_decode_real_pixels(docs_xs):
     from osm_lib_spark.operators.multimodal import media_payloads, synth_payload
 
     cat = media_catalog(docs_xs)
-    row = cat.first()
+    row = cat.where(F.col("media_kind") == "img").first()
     assert row.scheme == "media" and row.media_kind == "img"
     assert row.sig == hashlib.md5(row.media_ref.encode()).hexdigest()[:16]
 
     feats = decode_media_features(docs_xs)
-    frow = feats.first()
+    frow = feats.where(F.col("media_ref").contains("://img/")).first()
     img = png_decode(synth_payload(frow.media_ref))
     assert frow.f0 == img.shape[1] and frow.f1 == img.shape[0]
     assert frow.f2 == int(img[:, :, 0].astype(np.int64).sum())
@@ -182,7 +182,9 @@ def test_media_decode_real_pixels(docs_xs):
     assert cat.count() == feats.count()
 
     # the binary payload column round-trips through Arrow and decodes
-    prow = media_payloads(docs_xs).first()
+    prow = (
+        media_payloads(docs_xs).where(F.col("media_ref").contains("://img/")).first()
+    )
     assert prow.n_bytes == len(prow.payload)
     decoded = png_decode(bytes(prow.payload))
     assert decoded.dtype.name == "uint8" and decoded.ndim == 3
@@ -197,6 +199,97 @@ def test_media_decode_real_pixels(docs_xs):
     s0 = int(img[:, :, 0].astype(np.int64).sum())
     exp = [(i, s0 * 64 + i) for i in range(0, 10 + (w * h) % 40, 5)]
     assert got == exp
+
+
+def test_media_decode_real_audio(docs_xs):
+    """Audio spans route through the REAL WAV parser (sniffed by RIFF
+    magic, not by ref string): re-decode one payload independently and
+    compare the sample sums, then check the resample and window
+    fan-out closed forms."""
+    import numpy as np
+
+    from osm_lib_spark.functions.wav import resample_nearest, wav_decode
+    from osm_lib_spark.operators.multimodal import (
+        AUDIO_RATE,
+        media_payloads,
+        resize_media,
+        sample_frames,
+        synth_payload,
+    )
+
+    aud = F.col("media_ref").contains("://audio/")
+    cat = media_catalog(docs_xs).where(F.col("media_kind") == "audio")
+    n_audio = cat.count()
+    assert n_audio > 0  # the fixture mix really carries audio refs
+
+    frow = decode_media_features(docs_xs).where(aud).first()
+    samples, rate = wav_decode(synth_payload(frow.media_ref))
+    assert rate == AUDIO_RATE and samples.dtype == np.int16
+    assert frow.f0 == samples.shape[0] and frow.f1 == rate
+    assert frow.f2 == int(samples.astype(np.int64).sum())
+    assert frow.f3 == int(samples.max())
+
+    prow = media_payloads(docs_xs).where(aud).first()
+    assert bytes(prow.payload)[:4] == b"RIFF"
+
+    rrow = resize_media(docs_xs).where(F.col("media_ref") == frow.media_ref).first()
+    assert (rrow.width, rrow.height) == (224, 1)
+    assert rrow.resized_sig == int(
+        resample_nearest(samples, 224).astype(np.int64).sum()
+    )
+
+    frames = sample_frames(docs_xs, media_kind="audio").where(
+        F.col("media_ref") == frow.media_ref
+    )
+    got = sorted((r.frame_idx, r.frame_sig) for r in frames.collect())
+    s = int(samples.astype(np.int64).sum())
+    exp = [(i, s * 64 + i) for i in range(0, 10 + samples.shape[0] % 40, 5)]
+    assert got == exp
+
+
+def test_wav_codec_roundtrip():
+    """From-scratch RIFF/WAVE codec: encode/decode exact for mono and
+    multi-channel int16, unknown-chunk skipping, nearest-resample floor
+    indexing, and loud failure on non-PCM input."""
+    import struct
+
+    import numpy as np
+
+    from osm_lib_spark.functions.wav import resample_nearest, wav_decode, wav_encode
+
+    rng = np.random.default_rng(54321)
+    for shape in [(1,), (7,), (800,), (5, 2), (33, 3)]:
+        samples = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+        back, rate = wav_decode(wav_encode(samples, 44100))
+        assert rate == 44100 and back.shape == samples.shape
+        assert (back == samples).all(), shape
+
+    # odd data length (odd frame count mono) exercises the RIFF pad byte
+    odd = np.array([1, -2, 3], dtype=np.int16)
+    enc = wav_encode(odd)
+    assert len(enc) % 2 == 0
+    back, _ = wav_decode(enc)
+    assert (back == odd).all()
+
+    # real writers interleave metadata chunks; the walker must skip them
+    raw = wav_encode(odd)
+    fmt_at = raw.index(b"fmt ")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = raw[:fmt_at] + extra + raw[fmt_at:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back, _ = wav_decode(spliced)
+    assert (back == odd).all()
+
+    # resample: src_i = (i*3)//5 = 0,0,1,1,2
+    r = resample_nearest(np.array([10, 20, 30], dtype=np.int16), 5)
+    assert (r == [10, 10, 20, 20, 30]).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"not a wav at all")
+    ulaw = bytearray(wav_encode(odd))
+    ulaw[20] = 7  # format tag 7 = mu-law
+    with pytest.raises(ValueError, match="PCM"):
+        wav_decode(bytes(ulaw))
 
 
 def test_png_codec_roundtrip_all_filters():
