@@ -1826,16 +1826,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells GROUP BY cell8
             """,
             # the three 1:1 per-media stages recomputed in one SELECT.
-            # The engine sniffs the container magic and DECODES real
-            # PNG/WAV payloads; the oracle instead derives the same
-            # sums from each synthetic payload's closed form —
+            # The engine sniffs the container content and DECODES real
+            # PNG/WAV/APNG payloads; the oracle instead derives the
+            # same sums from each synthetic payload's closed form —
             # img: pixel[y,x,c] = base_c + x + y with (base_c, w, h)
             # from md5(ref) bytes, so Σ channel_c = w·h·base_c + h·Σx
             # + w·Σy and the 224×224 nearest resize uses the same floor
             # index map (src = (dst·in)//224) summed over range(224);
             # audio: sample[i] = base_0 + (i%64) over n = 64·(13+b4%25)
             # samples, so Σ = n·b0 + (n/64)·2016, max = b0 + 63, and
-            # the 224-sample nearest resample sums (i·n//224) % 64.
+            # the 224-sample nearest resample sums (i·n//224) % 64;
+            # vid: F = 4 + b5%12 frames, frame f = img gradient + f, so
+            # per-frame channel sums are the img form + w·h·f, totals
+            # add w·h·F(F−1)/2, and the resized stack sum is F× the img
+            # resize form + 224²·F(F−1)/2.
             # A codec or resampler bug on the engine side breaks this
             # hash; the oracle never runs a decoder.
             "media_pipeline": f"""
@@ -1846,41 +1850,55 @@ def oracle_sql() -> dict[str, str]:
                            CAST(('0x' || substr(md5((s).media_ref), 3, 2)) AS BIGINT) % 128 AS b1,
                            8 + CAST(('0x' || substr(md5((s).media_ref), 7, 2)) AS BIGINT) % 25 AS w,
                            8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h,
-                           64 * (13 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25) AS n
+                           64 * (13 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25) AS n,
+                           4 + CAST(('0x' || substr(md5((s).media_ref), 11, 2)) AS BIGINT) % 12 AS fr
                     FROM {_SPANS} WHERE (s).kind = 'media'
+                ),
+                sums AS (
+                    SELECT *,
+                           w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS c0_sum,
+                           w*h*b1 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS c1_sum,
+                           224*224*b0
+                             + 224*(SELECT SUM((t.x * m.w) // 224) FROM range(0, 224) t(x))
+                             + 224*(SELECT SUM((t.y * m.h) // 224) FROM range(0, 224) t(y)) AS r0_sum
+                    FROM m
                 )
                 SELECT doc_id, media_ref,
                        split_part(media_ref, '://', 1) AS scheme,
                        kind AS media_kind,
                        CAST(split_part(split_part(media_ref, '://', 2), '/', 2) AS BIGINT) AS media_id,
                        substr(md5(media_ref), 1, 16) AS sig,
-                       CAST(CASE WHEN kind = 'img' THEN w ELSE n END AS BIGINT) AS f0,
-                       CAST(CASE WHEN kind = 'img' THEN h ELSE 8000 END AS BIGINT) AS f1,
-                       CAST(CASE WHEN kind = 'img'
-                                 THEN w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                       CAST(CASE WHEN kind = 'img' THEN w
+                                 WHEN kind = 'vid' THEN fr
+                                 ELSE n END AS BIGINT) AS f0,
+                       CAST(CASE WHEN kind = 'img' THEN h
+                                 WHEN kind = 'vid' THEN w*h
+                                 ELSE 8000 END AS BIGINT) AS f1,
+                       CAST(CASE WHEN kind = 'img' THEN c0_sum
+                                 WHEN kind = 'vid' THEN fr*c0_sum + w*h*(fr*(fr-1)//2)
                                  ELSE n*b0 + (n//64)*2016 END AS BIGINT) AS f2,
-                       CAST(CASE WHEN kind = 'img'
-                                 THEN w*h*b1 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                       CAST(CASE WHEN kind = 'img' THEN c1_sum
+                                 WHEN kind = 'vid' THEN c1_sum + w*h*(fr-1)
                                  ELSE b0 + 63 END AS BIGINT) AS f3,
                        CAST(224 AS INT) AS width,
-                       CAST(CASE WHEN kind = 'img' THEN 224 ELSE 1 END AS INT) AS height,
-                       CAST(CASE WHEN kind = 'img'
-                                 THEN 224*224*b0
-                                      + 224*(SELECT SUM((t.x * m.w) // 224) FROM range(0, 224) t(x))
-                                      + 224*(SELECT SUM((t.y * m.h) // 224) FROM range(0, 224) t(y))
+                       CAST(CASE WHEN kind = 'audio' THEN 1 ELSE 224 END AS INT) AS height,
+                       CAST(CASE WHEN kind = 'img' THEN r0_sum
+                                 WHEN kind = 'vid' THEN fr*r0_sum + 224*224*(fr*(fr-1)//2)
                                  ELSE 224*b0
-                                      + (SELECT SUM(((t.x * m.n) // 224) % 64) FROM range(0, 224) t(x))
+                                      + (SELECT SUM(((t.x * sums.n) // 224) % 64) FROM range(0, 224) t(x))
                             END AS BIGINT) AS resized_sig
-                FROM m
+                FROM sums
             """,
             # full recomputation of the 1→N frame fan-out from the
             # DECODED payload's closed form: clip length = 10+(w·h)%40
-            # frames (img) or 10 + n%40 windows (audio), frame_sig =
-            # decoded-sum·64 + frame_idx — with w/h/n/b0 re-derived
-            # from md5(ref) exactly as synth_payload embeds them. The
-            # engine side sniffs + decodes real PNG/WAV bytes to get
-            # the same numbers, so row count AND values check both
-            # codecs.
+            # frames (img), 10 + n%40 windows (audio), or the APNG's
+            # ACTUAL frame count F = 4 + b5%12 (vid); frame_sig =
+            # decoded-sum·64 + frame_idx, where for vid the sum is THAT
+            # frame's channel-0 sum (img form + w·h·f) — with
+            # w/h/n/F/b0 re-derived from md5(ref) exactly as
+            # synth_payload embeds them. The engine side sniffs +
+            # decodes real PNG/WAV/APNG bytes to get the same numbers,
+            # so row count AND values check every codec.
             "media_frames": f"""
                 WITH m AS (
                     SELECT doc_id, (s).media_ref AS media_ref,
@@ -1888,22 +1906,26 @@ def oracle_sql() -> dict[str, str]:
                            CAST(('0x' || substr(md5((s).media_ref), 1, 2)) AS BIGINT) % 128 AS b0,
                            8 + CAST(('0x' || substr(md5((s).media_ref), 7, 2)) AS BIGINT) % 25 AS w,
                            8 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25 AS h,
-                           64 * (13 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25) AS n
+                           64 * (13 + CAST(('0x' || substr(md5((s).media_ref), 9, 2)) AS BIGINT) % 25) AS n,
+                           4 + CAST(('0x' || substr(md5((s).media_ref), 11, 2)) AS BIGINT) % 12 AS fr
                     FROM {_SPANS}
                     WHERE (s).kind = 'media'
                 ),
                 clips AS (
-                    SELECT doc_id, media_ref,
-                           CASE WHEN kind = 'img'
-                                THEN w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
-                                ELSE n*b0 + (n//64)*2016 END AS sig_base,
+                    SELECT doc_id, media_ref, kind, w*h AS wh,
+                           CASE WHEN kind = 'audio'
+                                THEN n*b0 + (n//64)*2016
+                                ELSE w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                                END AS sig_base,
                            CASE WHEN kind = 'img' THEN 10 + (w*h) % 40
+                                WHEN kind = 'vid' THEN fr
                                 ELSE 10 + n % 40 END AS n_frames
                     FROM m
                 )
                 SELECT doc_id, media_ref,
                        CAST(f AS INT) AS frame_idx,
-                       CAST(sig_base * 64 + f AS BIGINT) AS frame_sig
+                       CAST(CASE WHEN kind = 'vid' THEN (sig_base + wh*f) * 64 + f
+                                 ELSE sig_base * 64 + f END AS BIGINT) AS frame_sig
                 FROM clips, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS t(f)
             """,
         }

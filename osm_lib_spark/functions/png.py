@@ -37,17 +37,20 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """uint8 array (h, w) grayscale or (h, w, 3) RGB → PNG bytes."""
+def _as_frame(img: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Normalize to (h, w, channels) uint8 + (color_type, channels)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
-        color_type, channels = 0, 1
-        arr = img[:, :, None]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        color_type, channels = 2, 3
-        arr = img
-    else:
-        raise ValueError(f"png_encode supports (h,w) or (h,w,3) uint8, got {img.shape}")
+        return img[:, :, None], 0, 1
+    if img.ndim == 3 and img.shape[2] == 3:
+        return img, 2, 3
+    raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {img.shape}")
+
+
+def _filter_frame(arr: np.ndarray, channels: int, filter_type: int) -> np.ndarray:
+    """(h, w, channels) uint8 → filtered scanlines (h, 1+w·channels)
+    uint8 with the per-row filter-type byte prepended — the raw
+    datastream a PNG IDAT (or APNG fdAT) compresses."""
     h, w = arr.shape[:2]
     raw = arr.reshape(h, w * channels).astype(np.int16)
     bpp = channels
@@ -76,6 +79,14 @@ def png_encode(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
     scan = np.empty((h, 1 + w * channels), dtype=np.uint8)
     scan[:, 0] = filter_type
     scan[:, 1:] = filt
+    return scan
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """uint8 array (h, w) grayscale or (h, w, 3) RGB → PNG bytes."""
+    arr, color_type, channels = _as_frame(img)
+    h, w = arr.shape[:2]
+    scan = _filter_frame(arr, channels, filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _SIG
@@ -127,8 +138,15 @@ def png_decode(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     channels = 1 if color_type == 0 else 3
+    arr = _unfilter_scan(zlib.decompress(bytes(idat)), w, h, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def _unfilter_scan(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
+    """Decompressed scanline datastream → (h, w, channels) uint8 —
+    the shared PNG/APNG per-row unfilter (all five filter types)."""
     stride = w * channels
-    scan = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    scan = np.frombuffer(raw, dtype=np.uint8)
     if len(scan) != h * (1 + stride):
         raise ValueError("PNG scanline data length mismatch")
     scan = scan.reshape(h, 1 + stride)
@@ -161,8 +179,7 @@ def png_decode(data: bytes) -> np.ndarray:
                 row[i] = (raw[i] + _paeth_pred(left, int(prev[i]), ul)) % 256
         else:
             raise ValueError(f"unknown PNG row filter {ft}")
-    arr = out.astype(np.uint8).reshape(h, w, channels)
-    return arr[:, :, 0] if channels == 1 else arr
+    return out.astype(np.uint8).reshape(h, w, channels)
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -286,9 +286,10 @@ def build_docs(world: World) -> pa.Table:
     n_media = d // 2
     media_docs = rng.integers(0, d, size=n_media)
     for j in range(n_media):
-        # 3:1 image:audio mix so the media operators' container
-        # sniffing and both real codecs (PNG + WAV) are exercised
-        kind = "audio" if j % 4 == 3 else "img"
+        # 2:1:1 image:audio:video mix so the media operators' container
+        # sniffing and all three real codecs (PNG + WAV + APNG) are
+        # exercised
+        kind = "audio" if j % 4 == 3 else ("vid" if j % 4 == 2 else "img")
         span_rows.append((int(media_docs[j]), "media", "", f"media://{kind}/{j}"))
 
     spans = pd.DataFrame(span_rows, columns=["doc_idx", "kind", "text", "media_ref"])

@@ -330,6 +330,31 @@ def test_wav_roundtrip_property(n, channels, rate, seed):
     assert (back == samples).all()
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.booleans(),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_apng_roundtrip_property(n_frames, h, w, rgb, ft, seed):
+    """apng_decode(apng_encode(frames)) == frames for ANY uint8 frame
+    stack, frame count, and row-filter type."""
+    from osm_lib_spark.functions.apng import apng_decode, apng_encode, is_apng
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    frames = [rng.integers(0, 256, size=shape).astype(np.uint8) for _ in range(n_frames)]
+    enc = apng_encode(frames, filter_type=ft)
+    assert is_apng(enc)
+    back = apng_decode(enc)
+    assert len(back) == n_frames
+    for a, b in zip(frames, back):
+        assert a.shape == b.shape and (a == b).all()
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.binary(max_size=400))
 def test_wav_decode_rejects_garbage(data):

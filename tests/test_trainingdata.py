@@ -247,6 +247,111 @@ def test_media_decode_real_audio(docs_xs):
     assert got == exp
 
 
+def test_media_decode_real_video(docs_xs):
+    """Video spans route through the REAL APNG parser (PNG magic +
+    acTL chunk walk, not the ref string): re-decode one payload
+    independently and compare the per-frame pixel sums, then check the
+    frame-stack resize and the REAL frame-sampling fan-out (each
+    sampled row's signature comes from THAT decoded frame)."""
+    import numpy as np
+
+    from osm_lib_spark.functions.apng import apng_decode, is_apng
+    from osm_lib_spark.functions.png import resize_nearest
+    from osm_lib_spark.operators.multimodal import (
+        media_payloads,
+        resize_media,
+        sample_frames,
+        synth_payload,
+    )
+
+    vid = F.col("media_ref").contains("://vid/")
+    cat = media_catalog(docs_xs).where(F.col("media_kind") == "vid")
+    assert cat.count() > 0  # the fixture mix really carries video refs
+
+    frow = decode_media_features(docs_xs).where(vid).first()
+    frames = apng_decode(synth_payload(frow.media_ref))
+    stack = np.stack(frames)
+    assert frow.f0 == stack.shape[0]
+    assert frow.f1 == stack.shape[1] * stack.shape[2]
+    assert frow.f2 == int(stack[:, :, :, 0].astype(np.int64).sum())
+    assert frow.f3 == int(stack[-1, :, :, 1].astype(np.int64).sum())
+
+    prow = media_payloads(docs_xs).where(vid).first()
+    assert is_apng(bytes(prow.payload))
+
+    rrow = resize_media(docs_xs).where(F.col("media_ref") == frow.media_ref).first()
+    assert (rrow.width, rrow.height) == (224, 224)
+    assert rrow.resized_sig == sum(
+        int(resize_nearest(fr, 224, 224)[:, :, 0].astype(np.int64).sum())
+        for fr in frames
+    )
+
+    sampled = sample_frames(docs_xs, media_kind="vid").where(
+        F.col("media_ref") == frow.media_ref
+    )
+    got = sorted((r.frame_idx, r.frame_sig) for r in sampled.collect())
+    exp = [
+        (i, int(frames[i][:, :, 0].astype(np.int64).sum()) * 64 + i)
+        for i in range(0, len(frames), 5)
+    ]
+    assert got == exp
+
+
+def test_apng_codec_roundtrip():
+    """From-scratch APNG codec: encode/decode exact for multi-frame
+    gray and RGB stacks across filter types, PNG/APNG discrimination
+    by chunk walk (not byte scan), spec fallback (png_decode of an
+    APNG yields frame 0), and loud failure outside the supported
+    scope."""
+    import struct
+
+    import numpy as np
+
+    from osm_lib_spark.functions.apng import apng_decode, apng_encode, is_apng
+    from osm_lib_spark.functions.png import png_decode, png_encode
+
+    rng = np.random.default_rng(98765)
+    for shape, n in [((6, 9, 3), 4), ((5, 5), 1), ((3, 8, 3), 11)]:
+        frames = [rng.integers(0, 256, size=shape).astype(np.uint8) for _ in range(n)]
+        for ft in range(5):
+            enc = apng_encode(frames, filter_type=ft)
+            assert is_apng(enc)
+            back = apng_decode(enc)
+            assert len(back) == n
+            for a, b in zip(frames, back):
+                assert (a == b).all()
+
+    # a still PNG is not an animation, and apng_decode says so loudly
+    plain = png_encode(rng.integers(0, 256, size=(7, 7, 3)).astype(np.uint8))
+    assert not is_apng(plain)
+    with pytest.raises(ValueError, match="acTL"):
+        apng_decode(plain)
+
+    # spec fallback: a PNG decoder that ignores animation chunks shows
+    # the first frame (our frame 0 lives in the ordinary IDAT)
+    frames = [rng.integers(0, 256, size=(6, 6, 3)).astype(np.uint8) for _ in range(3)]
+    assert (png_decode(apng_encode(frames)) == frames[0]).all()
+
+    # mismatched frame shapes must fail at encode time
+    with pytest.raises(ValueError, match="shape"):
+        apng_encode([np.zeros((4, 4, 3), np.uint8), np.zeros((5, 4, 3), np.uint8)])
+
+    # out-of-scope dispose_op must fail at decode time, not mis-render
+    enc = bytearray(apng_encode(frames))
+    fctl_at = bytes(enc).index(b"fcTL")
+    body_at = fctl_at + 4  # chunk body starts after the type
+    dispose_at = body_at + 24  # seq(4)+w(4)+h(4)+x(4)+y(4)+delays(4)
+    enc[dispose_at] = 1
+    import zlib as _z
+
+    body = bytes(enc[body_at : body_at + 26])
+    enc[fctl_at + 4 + 26 : fctl_at + 4 + 26 + 4] = struct.pack(
+        ">I", _z.crc32(b"fcTL" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="dispose"):
+        apng_decode(bytes(enc))
+
+
 def test_wav_codec_roundtrip():
     """From-scratch RIFF/WAVE codec: encode/decode exact for mono and
     multi-channel int16, unknown-chunk skipping, nearest-resample floor
