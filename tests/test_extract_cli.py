@@ -118,3 +118,49 @@ def test_knn_cli_store_roundtrip(spark, tmp_path, capsys):
         f"(SELECT * FROM read_parquet('{out2}/*.parquet') EXCEPT SELECT * FROM read_parquet('{out1}/*.parquet'))"
     ).df()
     assert len(diff) == 0
+
+
+def test_media_cli_pipeline(spark, tmp_path, capsys):
+    """jobs/media.py: all four stages land as parquet with consistent
+    cardinalities, the features stage matches an independent decode,
+    and bad arguments exit 2 cleanly."""
+    import json as _json
+
+    import numpy as np
+
+    from jobs.media import main as media_main
+    from osm_lib_spark.operators.multimodal import decode_payload, synth_payload
+
+    docs = "fixtures/sf-xs/docs.parquet"
+    out = str(tmp_path / "media")
+    rc = media_main(["--docs", docs, "--out", out])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = summary["rows"]
+    # the three 1:1 stages agree; the fan-out stage is strictly larger
+    assert rows["catalog"] == rows["features"] == rows["resize"] > 0
+    assert rows["frames"] > rows["catalog"]
+
+    feats = spark.read.parquet(os.path.join(out, "features"))
+    frow = feats.first()
+    kind, decoded = decode_payload(synth_payload(frow.media_ref))
+    if kind == "img":
+        exp_f2 = int(decoded[:, :, 0].astype(np.int64).sum())
+    elif kind == "vid":
+        exp_f2 = int(np.stack(decoded)[:, :, :, 0].astype(np.int64).sum())
+    else:
+        exp_f2 = int(decoded[0].astype(np.int64).sum())
+    assert frow.f2 == exp_f2
+
+    # kind-restricted frames: only vid refs, real per-frame sampling
+    out_vid = str(tmp_path / "media_vid")
+    rc = media_main(
+        ["--docs", docs, "--out", out_vid, "--stages", "frames", "--kind", "vid"]
+    )
+    assert rc == 0
+    vid_frames = spark.read.parquet(os.path.join(out_vid, "frames"))
+    refs = [r.media_ref for r in vid_frames.select("media_ref").distinct().collect()]
+    assert refs and all("://vid/" in r for r in refs)
+
+    assert media_main(["--docs", docs, "--out", out, "--stages", "bogus"]) == 2
+    assert media_main(["--docs", docs, "--out", out, "--every-n", "0"]) == 2
