@@ -155,3 +155,59 @@ def test_catch_up_end_to_end_batched_equals_sequential(spark, tmp_path):
     # already current: no plan, no merge, watermark untouched
     same, wm2, plan2 = catch_up(spark, target, base_ts + 180, now, base=base)
     assert plan2 == [] and wm2 == base_ts + 180 and same is target
+
+
+def test_replicate_cli_end_to_end(spark, tmp_path, capsys):
+    """jobs/replicate.py over the fixture docs + a file:// mirror:
+    a delete of a real fixture node and two adds land in the merged
+    parquet, the watermark advances, and bad --since exits 2."""
+    import json as _json
+
+    from jobs.replicate import main as replicate_main
+    from osm_lib_spark.sources.span_codec import parse_nodes
+
+    docs = "fixtures/sf-xs/docs.parquet"
+    nodes = parse_nodes(spark.read.parquet(docs))
+    n0 = nodes.count()
+    victim = nodes.select("id").orderBy("id").first().id
+
+    base_ts = 1_755_000_000
+    diffs = {
+        1: (
+            base_ts + 60,
+            _osc(f'<delete><node id="{victim}" lat="0" lon="0"/></delete>'),
+        ),
+        2: (
+            base_ts + 120,
+            _osc(
+                '<create><node id="900000000001" lat="1.0" lon="2.0"/>'
+                '<node id="900000000002" lat="3.0" lon="4.0"/></create>'
+            ),
+        ),
+    }
+    _write_mirror(str(tmp_path), "minute", diffs)
+
+    out = str(tmp_path / "rep")
+    rc = replicate_main(
+        [
+            "--docs", docs,
+            "--base", f"file://{tmp_path}",
+            "--since", str(base_ts),
+            "--now", str(base_ts + 600),
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["applied_diffs"] == 2 and summary["sequences"] == [1, 2]
+    assert summary["watermark"] == base_ts + 120
+    assert summary["rows"] == n0 + 1  # -1 delete, +2 adds
+
+    merged = spark.read.parquet(os.path.join(out, "node"))
+    ids = {r.id for r in merged.select("id").collect()}
+    assert victim not in ids
+    assert {900000000001, 900000000002} <= ids
+
+    assert replicate_main(
+        ["--docs", docs, "--base", "x", "--since", "bogus", "--out", out]
+    ) == 2
