@@ -806,6 +806,39 @@ def _query_residual_ivf_pq(
     return _pq_rerank_tail(embeddings, scored, qemb, k, refine)
 
 
+def _encode_ivf_pq(embeddings: DataFrame, cents: list, cb: np.ndarray) -> DataFrame:
+    """Encode vectors against FROZEN index artifacts: row-local coarse
+    assignment + residual (one Arrow kernel) then PQ codes — map-only,
+    no shuffle, so encoding scales with input splits alone. Shared by
+    the build (codes pass), sample-trained builds, and incremental
+    appends."""
+    resid = _assign_residual(embeddings, cents)
+    return resid.select(
+        "vec_id", "list_id", _pq_codes_udf(cb)(F.col("residual")).alias("codes")
+    )
+
+
+def _load_ivf_pq_index(spark, path: str):
+    """(meta, cents, cb) from a persisted index directory — the
+    broadcast-sized training artifacts only; the codes table stays on
+    disk for pruned scans."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "index_meta.json")) as f:
+        meta = _json.load(f)
+    cents = sorted(
+        (int(r["list_id"]), list(r["c_emb"]))
+        for r in spark.read.parquet(_os.path.join(path, "centroids")).collect()
+    )
+    cb_rows = spark.read.parquet(_os.path.join(path, "codebooks")).collect()
+    sub = meta["dim"] // meta["m"]
+    cb = np.zeros((meta["m"], meta["kc"], sub), dtype=np.float64)
+    for r in cb_rows:
+        cb[int(r["s"]), int(r["code"])] = np.asarray(r["cb_emb"], dtype=np.float64)
+    return meta, cents, cb
+
+
 def build_ivf_pq_index(
     embeddings: DataFrame,
     path: str,
@@ -813,6 +846,7 @@ def build_ivf_pq_index(
     m: int = PQ_M,
     kc: int = PQ_K,
     dim: int | None = None,
+    train_on: DataFrame | None = None,
 ) -> dict:
     """Train the residual IVF∘PQ index ONCE and persist it:
 
@@ -830,14 +864,23 @@ def build_ivf_pq_index(
 
     At 100 TB these are Iceberg tables; centroids/codebooks stay
     broadcast-sized (they are collected per query anyway).
+
+    ``train_on`` decouples training from encoding — the sample-training
+    scale path: train the quantizers on a (clustered-representative)
+    sample frame, then encode the FULL corpus with the frozen
+    artifacts in one map-only pass. With train_on=None training and
+    encoding both run over ``embeddings`` (exact small-scale build).
     """
     import json as _json
     import os as _os
 
     dim = _dim_of(embeddings, dim)
     spark = embeddings.sparkSession
-    stride = _collect_cents(_stride_centroids(embeddings, nlist))
-    cents, cb, coded = _train_residual_ivf_pq(embeddings, stride, dim, m, kc)
+    train_frame = train_on if train_on is not None else embeddings
+    stride = _collect_cents(_stride_centroids(train_frame, nlist))
+    cents, cb, coded = _train_residual_ivf_pq(train_frame, stride, dim, m, kc)
+    if train_on is not None:
+        coded = _encode_ivf_pq(embeddings, cents, cb)
     spark.createDataFrame(
         [(int(lid), [float(x) for x in v]) for lid, v in cents],
         "list_id int, c_emb array<double>",
@@ -874,27 +917,45 @@ def ivf_pq_topk_from_index(
     partitions (literal filter → partition pruning). ``embeddings`` is
     still needed for query vectors and the exact-L2 rerank of the
     ≤refine·Q shortlist."""
-    import json as _json
     import os as _os
 
     spark = embeddings.sparkSession
-    with open(_os.path.join(path, "index_meta.json")) as f:
-        meta = _json.load(f)
-    cents = sorted(
-        (int(r["list_id"]), list(r["c_emb"]))
-        for r in spark.read.parquet(_os.path.join(path, "centroids")).collect()
-    )
-    cb_rows = spark.read.parquet(_os.path.join(path, "codebooks")).collect()
-    sub = meta["dim"] // meta["m"]
-    cb = np.zeros((meta["m"], meta["kc"], sub), dtype=np.float64)
-    for r in cb_rows:
-        cb[int(r["s"]), int(r["code"])] = np.asarray(r["cb_emb"], dtype=np.float64)
+    meta, cents, cb = _load_ivf_pq_index(spark, path)
     coded = spark.read.parquet(_os.path.join(path, "codes")).select(
         "vec_id", F.col("list_id").cast("int").alias("list_id"), "codes"
     )
     return _query_residual_ivf_pq(
         embeddings, cents, cb, coded, k, n_queries, nprobe, refine, prune_lists=True
     )
+
+
+def append_to_ivf_pq_index(new_embeddings: DataFrame, path: str) -> dict:
+    """Incrementally add vectors to a persisted index WITHOUT
+    retraining: encode the new batch against the frozen centroids +
+    codebooks (the same map-only kernel the build uses) and append the
+    codes as new files inside the existing list_id hive partitions.
+    Serving is unchanged — the probed-list partition pruning sees old
+    and new files alike, and results equal a monolithic index built
+    with the same train set over the union corpus (pytest-asserted).
+
+    This is the streaming-ingest shape at 100 TB: each arriving batch
+    is one shuffle-free encode + append; the quantizers only retrain
+    when drift warrants a rebuild. Caller owns vec_id uniqueness across
+    appends (appends are files, not upserts — same contract as any
+    append-only table).
+    """
+    import os as _os
+
+    spark = new_embeddings.sparkSession
+    meta, cents, cb = _load_ivf_pq_index(spark, path)
+    if _dim_of(new_embeddings, None) != meta["dim"]:
+        raise ValueError(
+            f"embedding dim {_dim_of(new_embeddings, None)} != index dim {meta['dim']}"
+        )
+    _encode_ivf_pq(new_embeddings, cents, cb).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(_os.path.join(path, "codes"))
+    return meta
 
 
 def embedding_dup_pairs(

@@ -648,6 +648,51 @@ def test_ivf_pq_persisted_index_train_once_query_many(tiny_embeddings, tmp_path)
     assert len(parts) >= 1
 
 
+def test_ivf_pq_index_append_equals_monolithic(tiny_embeddings, tmp_path, spark):
+    """Incremental ingest: build on corpus A, append batch B with the
+    frozen codebooks — serving must equal a monolithic sample-trained
+    index (train_on=A, codes over A∪B). Also: dim mismatch raises."""
+    import numpy as np
+
+    from osm_lib_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_topk_from_index,
+    )
+
+    a = tiny_embeddings.where("vec_id < 28")
+    b = tiny_embeddings.where("vec_id >= 28")
+
+    mono = str(tmp_path / "mono")
+    build_ivf_pq_index(tiny_embeddings, mono, nlist=4, m=4, kc=4, train_on=a)
+
+    inc = str(tmp_path / "inc")
+    build_ivf_pq_index(a, inc, nlist=4, m=4, kc=4)
+    append_to_ivf_pq_index(b, inc)
+
+    served_mono = sorted(
+        map(tuple, ivf_pq_topk_from_index(tiny_embeddings, mono, k=3, n_queries=3).collect())
+    )
+    served_inc = sorted(
+        map(tuple, ivf_pq_topk_from_index(tiny_embeddings, inc, k=3, n_queries=3).collect())
+    )
+    assert served_mono == served_inc
+    # appended rows really landed in the hive-partitioned codes table
+    n_codes = spark.read.parquet(f"{inc}/codes").count()
+    assert n_codes == tiny_embeddings.count()
+
+    rng = np.random.default_rng(7)
+    wrong_dim = spark.createDataFrame(
+        [(500, rng.standard_normal(8).astype(np.float32).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    try:
+        append_to_ivf_pq_index(wrong_dim, inc)
+        raise AssertionError("dim mismatch must raise")
+    except ValueError as exc:
+        assert "dim" in str(exc)
+
+
 def test_curate_corpus_repetition_gates(spark):
     """curate_corpus drops documents whose duplicate-word / dup-2-gram
     fractions exceed the thresholds, on top of the quality gate."""
