@@ -119,17 +119,17 @@ def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFr
     return hashed.select("doc_id", sig.alias("sig"))
 
 
-def minhash_candidate_pairs(
+def _band_table(
     documents: DataFrame, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS
 ) -> DataFrame:
-    """LSH banding: docs sharing any band signature → candidate pairs
-    (doc_a < doc_b). Band key is the band's signature slice rendered as
-    a string (exact, no second-level hashing)."""
+    """(doc_id, band, band_sig): each doc's LSH band keys. Band key is
+    the band's signature slice rendered as a string (exact, no
+    second-level hashing). Banding happens INSIDE the same projection
+    as the signature (the transform references `sig` as a lambda
+    variable, so it is computed once per row — no second
+    materialization barrier needed; the only eager checkpoint is the
+    md5 hash array inside minhash_signatures)."""
     rows = num_perm // num_bands
-    # banding happens INSIDE the same projection as the signature (the
-    # transform references `sig` as a lambda variable, so it is computed
-    # once per row — no second materialization barrier needed; the only
-    # eager checkpoint is the md5 hash array inside minhash_signatures)
     sigs = minhash_signatures(documents, num_perm)
     band_of = lambda sig_col: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -140,12 +140,20 @@ def minhash_candidate_pairs(
             ",",
         ),
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(F.array(F.col("sig")), band_of).getItem(0)
         ).alias("band", "band_sig"),
     )
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature → candidate pairs
+    (doc_a < doc_b)."""
+    bands = _band_table(documents, num_perm, num_bands)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     # pure equi-join on (band, band_sig) — the doc_a < doc_b predicate is
@@ -167,7 +175,10 @@ def _shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def _verify_pairs(
-    cands: DataFrame, sets: DataFrame, threshold: float
+    cands: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verify of candidate pairs against shingle-set
     arrays: two uniform doc_id hash joins + ``array_intersect`` in
@@ -183,14 +194,18 @@ def _verify_pairs(
     touching nothing.
     """
     cands = cands.localCheckpoint(eager=False)
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = sets.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+    side_b = sets_b if sets_b is not None else sets
+    a_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    b_ids = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    if sets_b is None:
+        cand_ids = a_ids.unionByName(b_ids).distinct()
+        sets = sets.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+        side_b = sets
+    else:
+        sets = sets.join(a_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+        side_b = side_b.join(b_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    b = side_b.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -447,3 +462,107 @@ def ngram_jaccard_pairs(
     """
     cands = ngram_prefix_candidates(documents, n, threshold)
     return _verify_pairs(cands, _shingle_sets(documents, n), threshold)
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index — incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    documents: DataFrame,
+    path: str,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> dict:
+    """Persist the corpus's LSH structures once so each future ingest
+    batch dedups AGAINST the corpus without re-shingling it:
+
+        path/bands/     (doc_id, band, band_sig)
+        path/shingles/  (doc_id, sh_set)   range-partitioned+sorted by
+                                           doc_id → per-file min/max
+                                           skipping for the verify probe
+        path/index_meta.json
+
+    At 100 TB both are Iceberg tables; bands/ bucketed on
+    (band, band_sig) co-locates the probe join, shingles/ keeps the
+    doc_id sort for file skipping. The parquet layout here preserves
+    the same pruning structure without a metastore.
+    """
+    import json as _json
+    import os as _os
+
+    _band_table(documents, num_perm, num_bands).write.mode("overwrite").parquet(
+        _os.path.join(path, "bands")
+    )
+    sets = _shingle_sets(documents, shingle_n)
+    sets.repartitionByRange(documents.sparkSession.sparkContext.defaultParallelism, "doc_id").sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "shingles"))
+    meta = {"num_perm": num_perm, "num_bands": num_bands, "shingle_n": shingle_n}
+    with open(_os.path.join(path, "index_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def dedup_batch_against_index(
+    batch: DataFrame, path: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Verified duplicate pairs between an ingest batch and a PERSISTED
+    corpus index: (doc_a = batch doc, doc_b = corpus doc, inter,
+    size_a, size_b with exact Jaccard ≥ threshold).
+
+    The batch is shingled/banded fresh (it is the small side); the
+    corpus contributes only its persisted band table to the candidate
+    equi-join and only the candidate corpus docs' shingle files to the
+    verify (semi-join pruned, exactly `_verify_pairs`' one-sided
+    guarantee applied per side). Corpus text is never touched — the
+    steady-state ingest cost is O(batch) + O(collisions), independent
+    of corpus size. Batch-internal dups are `minhash_dup_pairs(batch)`;
+    re-ingested doc_ids pair with themselves and are excluded.
+    """
+    import json as _json
+    import os as _os
+
+    spark = batch.sparkSession
+    with open(_os.path.join(path, "index_meta.json")) as f:
+        meta = _json.load(f)
+    corpus_bands = spark.read.parquet(_os.path.join(path, "bands"))
+    batch_bands = _band_table(batch, meta["num_perm"], meta["num_bands"])
+    cands = (
+        batch_bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+        .join(
+            corpus_bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    corpus_sets = spark.read.parquet(_os.path.join(path, "shingles"))
+    return _verify_pairs(
+        cands,
+        _shingle_sets(batch, meta["shingle_n"]),
+        threshold,
+        sets_b=corpus_sets,
+    )
+
+
+def append_to_minhash_index(batch: DataFrame, path: str) -> dict:
+    """Add an ingest batch (typically the post-dedup survivors) to the
+    persisted index: band + shingle rows append as new files with the
+    corpus untouched — the same shuffle-free ingest contract as
+    ``append_to_ivf_pq_index``. Caller owns doc_id uniqueness."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "index_meta.json")) as f:
+        meta = _json.load(f)
+    _band_table(batch, meta["num_perm"], meta["num_bands"]).write.mode(
+        "append"
+    ).parquet(_os.path.join(path, "bands"))
+    _shingle_sets(batch, meta["shingle_n"]).write.mode("append").parquet(
+        _os.path.join(path, "shingles")
+    )
+    return meta

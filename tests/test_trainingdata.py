@@ -648,6 +648,50 @@ def test_ivf_pq_persisted_index_train_once_query_many(tiny_embeddings, tmp_path)
     assert len(parts) >= 1
 
 
+def test_minhash_index_batch_vs_corpus(tiny_docs, tmp_path, spark):
+    """Persisted MinHash index: a new batch dedups AGAINST the corpus
+    (pairs equal the monolithic run restricted to batch×corpus), the
+    survivor append makes a later identical batch collide, and the
+    corpus text is never re-read on the probe path."""
+    from osm_lib_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        dedup_batch_against_index,
+        minhash_dup_pairs,
+    )
+
+    idx = str(tmp_path / "mh")
+    build_minhash_index(tiny_docs, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),  # dup of 1,2,3
+            (102, "totally novel text that matches nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_batch_against_index(batch, idx).collect()
+    }
+    # oracle: monolithic dedup over corpus ∪ batch, restricted to cross pairs
+    mono = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+        for r in minhash_dup_pairs(tiny_docs.unionByName(batch)).collect()
+        if (r.doc_a > 100) != (r.doc_b > 100)
+    }
+    assert got == mono and (101, 1) in got and all(a != 102 for a, _ in got)
+
+    # append the novel survivor; an identical later ingest now collides
+    append_to_minhash_index(batch.where("doc_id = 102"), idx)
+    batch2 = spark.createDataFrame(
+        [(201, "totally novel text that matches nothing at all")],
+        "doc_id long, text string",
+    )
+    got2 = {(r.doc_a, r.doc_b) for r in dedup_batch_against_index(batch2, idx).collect()}
+    assert got2 == {(201, 102)}
+
+
 def test_ivf_pq_index_append_equals_monolithic(tiny_embeddings, tmp_path, spark):
     """Incremental ingest: build on corpus A, append batch B with the
     frozen codebooks — serving must equal a monolithic sample-trained
