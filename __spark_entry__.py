@@ -442,9 +442,30 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    from osm_lib_spark.operators.dedup import minhash_dup_pairs
+    """BOTH MinHash dedup paths in one gate (50-slot merge rule):
+    'mono' = the monolithic self-dedup (minhash_dup_pairs), 'inc' =
+    the incremental ingest path — even doc_ids persist as the corpus
+    index (build_minhash_index), odd doc_ids dedup AGAINST it
+    (dedup_batch_against_index, corpus text untouched). Because band
+    signatures depend only on a doc's text, the incremental result
+    must equal the monolithic pair set restricted to odd×even cross
+    pairs — which is exactly what the oracle asserts."""
+    import tempfile
 
-    return minhash_dup_pairs(_documents(spark, sf_dir))
+    from osm_lib_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_batch_against_index,
+        minhash_dup_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    mono = minhash_dup_pairs(docs).withColumn("path", F.lit("mono"))
+    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    build_minhash_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+    inc = dedup_batch_against_index(docs.where(F.col("doc_id") % 2 == 1), idx)
+    return mono.unionByName(inc.withColumn("path", F.lit("inc"))).select(
+        "path", "doc_a", "doc_b", "inter", "size_a", "size_b"
+    )
 
 
 def q_dedup_components(spark, sf_dir):
@@ -989,7 +1010,15 @@ def _minhash_oracle_sql(shingle_cte: str) -> str:
             JOIN sizes zb ON zb.doc_id = doc_b
             WHERE inter >= {JACCARD_THRESHOLD} * (za.sz + zb.sz - inter)
         )
-        SELECT doc_a, doc_b, inter, size_a, size_b FROM mh_pairs
+        SELECT 'mono' AS path, doc_a, doc_b, inter, size_a, size_b FROM mh_pairs
+        UNION ALL
+        SELECT 'inc',
+               CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END,
+               CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END,
+               inter,
+               CASE WHEN doc_a % 2 = 1 THEN size_a ELSE size_b END,
+               CASE WHEN doc_a % 2 = 1 THEN size_b ELSE size_a END
+        FROM mh_pairs WHERE (doc_a % 2) <> (doc_b % 2)
     """
 
 
