@@ -936,11 +936,9 @@ def _dedup_components_oracle_sql(shingle_cte: str) -> str:
     the undirected edges, min(lbl) per doc = the component's canonical
     (minimum) doc_id. Independent fixpoint recomputation — no shared
     code with the Spark label-propagation loop."""
-    body = _minhash_oracle_sql(shingle_cte)
-    # strip the final SELECT, keep the WITH chain through mh_pairs
-    with_chain = body[: body.rindex("SELECT doc_a, doc_b, inter")]
+    with_chain = _minhash_chain_sql(shingle_cte)
     return f"""
-        {with_chain.replace("WITH ", "WITH RECURSIVE ", 1)}
+        WITH RECURSIVE {with_chain}
         , edges AS (
             SELECT doc_a AS s, doc_b AS d FROM mh_pairs
             UNION ALL
@@ -957,11 +955,15 @@ def _dedup_components_oracle_sql(shingle_cte: str) -> str:
     """
 
 
-def _minhash_oracle_sql(shingle_cte: str) -> str:
-    """DuckDB SQL recomputing the whole MinHash+LSH pipeline from the
-    raw documents — signatures, banding, candidate join, exact verify —
-    independently of the Spark implementation (shares only the public
-    constants: seed-42 coefficients, prime, band layout, threshold)."""
+def _minhash_chain_sql(shingle_cte: str) -> str:
+    """The WITH-chain (no leading WITH, no final SELECT) recomputing the
+    MinHash+LSH pipeline through the verified `mh_pairs` CTE — shared by
+    the pairs oracle, the components oracle, and the curation oracle so
+    each composes it structurally instead of string-slicing another
+    oracle's text (a slice on the final SELECT silently emptied the
+    mh_pairs body when the pairs oracle grew a 'mono'/'inc' union).
+    Independent of the Spark implementation — shares only the public
+    constants: seed-42 coefficients, prime, band layout, threshold."""
     from osm_lib_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         MINHASH_PRIME,
@@ -975,8 +977,7 @@ def _minhash_oracle_sql(shingle_cte: str) -> str:
     a_lit = "[" + ", ".join(str(x) for x in a) + "]"
     b_lit = "[" + ", ".join(str(x) for x in b) + "]"
     h15_sh = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
-    return f"""
-        WITH {shingle_cte},
+    return f"""{shingle_cte},
         hs AS (
             SELECT doc_id, list({h15_sh} % {MINHASH_PRIME}) AS hs FROM sh GROUP BY doc_id
         ),
@@ -1009,7 +1010,17 @@ def _minhash_oracle_sql(shingle_cte: str) -> str:
             JOIN sizes za ON za.doc_id = doc_a
             JOIN sizes zb ON zb.doc_id = doc_b
             WHERE inter >= {JACCARD_THRESHOLD} * (za.sz + zb.sz - inter)
-        )
+        )"""
+
+
+def _minhash_oracle_sql(shingle_cte: str) -> str:
+    """DuckDB oracle for the gated pair query: the monolithic corpus-wide
+    pair set ('mono' path) unioned with the incremental batch-vs-corpus
+    restriction ('inc' path: odd doc_ids are the batch, evens the
+    corpus, pairs oriented batch-first) — recomputed from raw documents
+    via the shared chain in _minhash_chain_sql."""
+    return f"""
+        WITH {_minhash_chain_sql(shingle_cte)}
         SELECT 'mono' AS path, doc_a, doc_b, inter, size_a, size_b FROM mh_pairs
         UNION ALL
         SELECT 'inc',
