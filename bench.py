@@ -321,6 +321,23 @@ def run_suite(spark, sf_dir: str) -> dict:
         "ann_ivf_pq_serve", lambda: ivf_pq_topk_from_index(embeddings, idx_dir)
     )
 
+    # -- incremental ingest: a new batch dedups AGAINST the persisted
+    # corpus MinHash index — O(batch) probe + candidate-pruned verify,
+    # corpus text untouched. Index build is the one-time corpus cost
+    # and stays untimed (it amortizes over every future batch).
+    from osm_lib_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_batch_against_index,
+    )
+
+    mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
+    ingest_batch = documents.where(F.col("doc_id") % 8 == 0)
+    build_minhash_index(documents.where(F.col("doc_id") % 8 != 0), mh_dir)
+    timed_warm(
+        "ingest_dedup_batch", lambda: dedup_batch_against_index(ingest_batch, mh_dir)
+    )
+    extras["ingest_batch_docs"] = ingest_batch.count()
+
     extras["n_nodes"] = n_nodes
     extras["n_ways"] = n_ways
     for df in (nodes, ways, relations, way_tiles):
@@ -507,8 +524,15 @@ def main() -> int:
             jeff = (runs[hi]["join_rows_per_sec"] / runs[lo]["join_rows_per_sec"]) / (hi / lo)
             deff = (runs[hi]["decode_entities_per_sec"] / runs[lo]["decode_entities_per_sec"]) / (hi / lo)
             host = (calib[hi] / calib[lo]) / (hi / lo)
+            # steal-robust secondary estimator: min-of-reps at each
+            # level. The median reflects typical throughput INCLUDING
+            # whatever the noisy neighbors did that minute; the min is
+            # the best steal-free observation of what the code+box can
+            # do. Reported side by side — neither replaces the other.
+            min_eff = (min(runs[lo]["reps"]) / min(runs[hi]["reps"])) / (hi / lo)
             pairs[f"{lo}to{hi}"] = {
                 "efficiency": round(eff, 3),
+                "efficiency_min": round(min_eff, 3),
                 "join_efficiency": round(jeff, 3),
                 "decode_efficiency": round(deff, 3),
                 "host_cpu_efficiency": round(host, 3),
@@ -602,7 +626,22 @@ def write_scaling_report(
     hist_path = os.path.join(bench_dir, "scaling_runs.jsonl")
     with open(hist_path, "a") as hf:
         hf.write(
-            _json.dumps({"run": None, "pairs": {k: {m: round(v, 3) for m, v in p.items()} for k, p in pairs.items()}})
+            _json.dumps(
+                {
+                    # full per-level reps so any estimator (median, min,
+                    # trimmed mean) stays recomputable from history —
+                    # earlier records carried only the derived pairs
+                    "run": {
+                        str(n): {
+                            k: v
+                            for k, v in r.items()
+                            if k in ("cpus", "sec", "extracts_per_sec", "reps", "join_reps", "decode_reps")
+                        }
+                        for n, r in runs.items()
+                    },
+                    "pairs": {k: {m: round(v, 3) for m, v in p.items()} for k, p in pairs.items()},
+                }
+            )
             + "\n"
         )
     history = []
@@ -629,13 +668,15 @@ def write_scaling_report(
         "",
         "### Run history (BENCH/scaling_runs.jsonl, chronological)",
         "",
-        "| run | 2→8 extract | 2→8 join | 2→8 decode | 2→8 ceiling | 8→32 extract | 8→32 ceiling |",
-        "|---|---|---|---|---|---|---|",
+        "| run | 2→8 extract | 2→8 min-reps | 2→8 join | 2→8 decode | 2→8 ceiling | 8→32 extract | 8→32 ceiling |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for i, h in enumerate(history, start=1):
         a, b = h.get("2to8", {}), h.get("8to32", {})
+        amin = a.get("efficiency_min")
         lines.append(
-            f"| {i} | {a.get('efficiency', float('nan')):.3f} | {a.get('join_efficiency', float('nan')):.3f} "
+            f"| {i} | {a.get('efficiency', float('nan')):.3f} | {'—' if amin is None else format(amin, '.3f')} "
+            f"| {a.get('join_efficiency', float('nan')):.3f} "
             f"| {a.get('decode_efficiency', float('nan')):.3f} | {a.get('host_cpu_efficiency', float('nan')):.3f} "
             f"| {b.get('efficiency', float('nan')):.3f} | {b.get('host_cpu_efficiency', float('nan')):.3f} |"
         )
@@ -652,6 +693,16 @@ def write_scaling_report(
         f"median extract efficiency {q_med:.3f}.** Calibration ≥ 0.8 is "
         "measured BEFORE the timed reps, so steal landing mid-run can still "
         "depress an individual quiet record.",
+        "",
+        f"**Min-of-reps estimator (steal-robust; recorded from run 10 on): "
+        f"criterion met in "
+        f"{sum(1 for h in history if (h.get('2to8', {}).get('efficiency_min') or 0) >= 0.8)}"
+        f" of {sum(1 for h in history if h.get('2to8', {}).get('efficiency_min') is not None)}"
+        " runs that carry per-rep data.** The min of each level's reps is the"
+        " best steal-free observation of the code+box; the pair ratio of mins"
+        " removes single-rep steal spikes the median still averages in. Full"
+        " per-level reps persist in scaling_runs.jsonl so any estimator stays"
+        " recomputable.",
         "",
         f"**Criterion ≥ 0.8 at 2→8 over ALL runs: met in {met} of {len(history)} recorded runs; "
         f"median extract efficiency {med_eff:.3f}.** "
