@@ -164,3 +164,65 @@ def test_media_cli_pipeline(spark, tmp_path, capsys):
 
     assert media_main(["--docs", docs, "--out", out, "--stages", "bogus"]) == 2
     assert media_main(["--docs", docs, "--out", out, "--every-n", "0"]) == 2
+
+
+def test_ingest_cli_end_to_end(spark, tmp_path, capsys):
+    """jobs/ingest.py: bootstrap the corpus index, ingest a batch with
+    one corpus dup, one internal dup pair, and one novel doc — the
+    novel canonical survives, --append makes a later identical ingest
+    collide, and the validation probes exit cleanly."""
+    from jobs.ingest import main as ingest_main
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    batch = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),  # corpus dup
+            (102, "totally novel text that matches nothing at all"),
+            (103, "totally novel text that matches nothing at all"),  # dup of 102
+        ],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+
+    idx, out = str(tmp_path / "mh_idx"), str(tmp_path / "ingest1")
+    rc = ingest_main(
+        ["--batch", batch, "--index", idx, "--corpus", corpus,
+         "--build-index", "--append", "--out", out]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["batch_docs"] == 3
+    assert summary["corpus_matched"] == 1     # 101
+    assert summary["internal_dropped"] == 1   # 103 (102 is canonical)
+    assert summary["survivors"] == 1
+    surv = spark.read.parquet(os.path.join(out, "survivors"))
+    assert [r.doc_id for r in surv.collect()] == [102]
+
+    # appended survivor: an identical later batch now matches the index
+    batch2 = str(tmp_path / "batch2.parquet")
+    spark.createDataFrame(
+        [(201, "totally novel text that matches nothing at all")],
+        "doc_id long, text string",
+    ).write.parquet(batch2)
+    out2 = str(tmp_path / "ingest2")
+    assert ingest_main(["--batch", batch2, "--index", idx, "--out", out2]) == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["corpus_matched"] == 1 and summary2["survivors"] == 0
+    cross2 = spark.read.parquet(os.path.join(out2, "cross_pairs"))
+    assert {(r.doc_a, r.doc_b) for r in cross2.collect()} == {(201, 102)}
+
+    # probes: clean errors, exit 2
+    assert ingest_main(["--batch", batch, "--index", str(tmp_path / "nope"),
+                        "--out", out]) == 2
+    assert ingest_main(["--batch", batch, "--index", idx, "--build-index",
+                        "--out", out]) == 2
+    assert ingest_main(["--batch", batch, "--index", idx, "--out", out,
+                        "--threshold", "1.5"]) == 2
