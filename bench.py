@@ -497,22 +497,31 @@ def scaling_batch_run(
 
 def main() -> int:
     scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1"
-    result = run_at(CPUS, SF_DIR)
-    timings = result["timings"]
-    out = {
-        "metric": "tile_extract_batch_sec",
-        "value": round(timings["tile_extract_batch"], 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": _sf_value(SF_DIR),
-        "cpus": CPUS,
-        "tile_extracts_per_sec": round(result["extras"]["tile_extracts_per_sec"], 3),
-        "spatial_join_rows_per_sec": round(
-            result["extras"]["spatial_join_rows_per_sec"], 1
-        ),
-        "n_nodes": result["extras"]["n_nodes"],
-        "n_ways": result["extras"]["n_ways"],
-    }
+    # SPARK_GRAFT_SCALING_ONLY=1 skips the sf0.1 suite and goes straight
+    # to the scaling levels — a capture drops from ~45 to ~25 min, and
+    # the suite's local[32] warm-up load can't bleed into the local[2]
+    # level's first reps. The emitted JSON then carries only the scaling
+    # block (the driver's per-round bench never sets this).
+    scaling_only = scaling and os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
+    if scaling_only:
+        out = {"metric": "scaling_only", "value": None, "unit": "sec"}
+    else:
+        result = run_at(CPUS, SF_DIR)
+        timings = result["timings"]
+        out = {
+            "metric": "tile_extract_batch_sec",
+            "value": round(timings["tile_extract_batch"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": _sf_value(SF_DIR),
+            "cpus": CPUS,
+            "tile_extracts_per_sec": round(result["extras"]["tile_extracts_per_sec"], 3),
+            "spatial_join_rows_per_sec": round(
+                result["extras"]["spatial_join_rows_per_sec"], 1
+            ),
+            "n_nodes": result["extras"]["n_nodes"],
+            "n_ways": result["extras"]["n_ways"],
+        }
 
     if scaling:
         fixture = scaling_fixture()
@@ -734,10 +743,15 @@ def write_scaling_report(
         "uniform (no skew), and there is no driver-side work in the hot path",
         "(the per-dataset closure table is built once, off the query path).",
         "",
-        "Headline absolute numbers at local[32] (median): batch of 12",
-        f"extracts {out['value']}s ({out['tile_extracts_per_sec']}/s), way→node",
-        f"resolution {out['spatial_join_rows_per_sec']:.0f} rows/s.",
-        "",
+    ]
+    if out.get("value") is not None:
+        lines += [
+            "Headline absolute numbers at local[32] (median): batch of 12",
+            f"extracts {out['value']}s ({out['tile_extracts_per_sec']}/s), way→node",
+            f"resolution {out['spatial_join_rows_per_sec']:.0f} rows/s.",
+            "",
+        ]
+    lines += [
         "```json",
         json.dumps(out["scaling"], indent=1),
         "```",
