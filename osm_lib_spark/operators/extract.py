@@ -179,22 +179,37 @@ def bbox_extract_batch(
     bbox_df = spark.createDataFrame(
         ranges, "bbox_id int, min_x int, min_y int, max_x int, max_y int"
     )
-    hits = way_tiles.join(
-        F.broadcast(bbox_df),
-        F.col("xtile").between(F.col("min_x"), F.col("max_x"))
-        & F.col("ytile").between(F.col("min_y"), F.col("max_y")),
-    ).select("bbox_id", "way_id")
+    # lazy checkpoint: b_ways feeds THREE consumers (the ref explode,
+    # the way→relation join, the way output branch); Spark plans union
+    # branches as separate subtrees (no ReuseExchange matched here), so
+    # without the barrier the BroadcastNestedLoopJoin over way_tiles
+    # re-executes once per consumer (plan audit r06: the BNLJ subtree
+    # appeared 3× in the physical plan).
+    hits = (
+        way_tiles.join(
+            F.broadcast(bbox_df),
+            F.col("xtile").between(F.col("min_x"), F.col("max_x"))
+            & F.col("ytile").between(F.col("min_y"), F.col("max_y")),
+        )
+        .select("bbox_id", "way_id")
+        .localCheckpoint(eager=False)
+    )
 
     b_ways = hits  # (bbox_id, way_id)
+    # One exchange, keyed by ref_id only: hash(ref_id) satisfies the
+    # distinct's ClusteredDistribution on (bbox_id, ref_id) — rows with
+    # equal pairs share a ref_id — AND the downstream semi-join's
+    # requirement on ref_id, so the dedup and the node join run off the
+    # SAME shuffle (was: one exchange on the pair for distinct, then a
+    # second full exchange of the deduped set on ref_id for the join).
     refs = (
         b_ways.join(ways.select(F.col("id").alias("way_id"), "node_ids"), "way_id")
         .select("bbox_id", F.explode("node_ids").alias("ref_id"))
+        .repartition("ref_id")
         .distinct()
     )
     # lazy checkpoint: b_nodes feeds BOTH the node output and the
-    # node→relation join; Spark plans union branches as separate
-    # subtrees (no ReuseExchange matched here), so without the barrier
-    # the explode+distinct+semi-join chain executes twice per run
+    # node→relation join (same re-execution hazard as b_ways)
     b_nodes = (
         refs.join(nodes.select(F.col("id").alias("ref_id")), "ref_id", "left_semi")
         .select("bbox_id", F.col("ref_id").alias("node_id"))
@@ -207,8 +222,12 @@ def bbox_extract_batch(
     rel_w = ctx.rel_by_way.join(
         b_ways.withColumnRenamed("way_id", "member_id"), "member_id"
     ).select("bbox_id", "relation_id")
-    seen = rel_n.unionByName(rel_w).distinct()
-    ancestors = seen.join(ctx.rel_closure, "relation_id").select(
+    # lazy checkpoint: seen feeds the direct relation output AND the
+    # closure join (was computed twice); it is bounded by the relation
+    # count, so broadcasting it into the closure join replaces the
+    # SortMergeJoin (+2 exchanges) the stats-free RDD scan planned.
+    seen = rel_n.unionByName(rel_w).distinct().localCheckpoint(eager=False)
+    ancestors = F.broadcast(seen).join(ctx.rel_closure, "relation_id").select(
         "bbox_id", F.col("ancestor_id").alias("relation_id")
     )
     b_rels = seen.unionByName(ancestors).distinct()
