@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from osm_lib_spark.functions.apng import apng_decode, apng_encode, is_apng
 from osm_lib_spark.functions.png import png_decode, png_encode, resize_nearest
 from osm_lib_spark.functions.wav import resample_nearest, wav_decode, wav_encode
-from osm_lib_spark.sources.span_codec import explode_spans
+from osm_lib_spark.sources.span_codec import spans_of_kind
 
 N_FEATURES = 4
 
@@ -60,7 +60,7 @@ def media_catalog(docs: DataFrame) -> DataFrame:
     signature placeholder (md5 of the ref; a real pipeline hashes the
     payload bytes).
     """
-    spans = explode_spans(docs).where(F.col("kind") == "media")
+    spans = spans_of_kind(docs, "media")
     parts = F.split(F.col("media_ref"), "://", 2)
     path = F.split(F.coalesce(F.get(parts, 1), F.lit("")), "/", 2)
     return spans.select(
@@ -138,9 +138,7 @@ def media_payloads(docs: DataFrame) -> DataFrame:
     mapInPandas fetch: one Arrow batch of refs in, one batch of PNG
     byte payloads out — the batching/partitioning shape of a real
     object-store fetch stage (payload bytes never touch the driver)."""
-    media = explode_spans(docs).where(F.col("kind") == "media").select(
-        "doc_id", "media_ref"
-    )
+    media = spans_of_kind(docs, "media").select("doc_id", "media_ref")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,16 +170,20 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
     mapInPandas partition-iterator: each Arrow batch fetches payload
     bytes and decodes them (zlib inflate + unfilter per image/frame;
     RIFF chunk walk + PCM frame decode per clip) — the exact batching
-    shape of a PIL/libsndfile/pyav decoder.
+    shape of a PIL/libsndfile/pyav decoder. Fetch and decode are FUSED
+    into ONE Python stage: the payload bytes are consumed where they
+    are produced instead of round-tripping Python→Arrow→JVM→Arrow→
+    Python between two mapInPandas operators (guide §4 — the payload
+    is the heavy column; it should cross the boundary zero times).
     """
-    pay = media_payloads(docs)
+    media = spans_of_kind(docs, "media").select("doc_id", "media_ref")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
             f0, f1, f2, f3 = [], [], [], []
-            for raw in pdf["payload"]:
-                kind, decoded = decode_payload(bytes(raw))
+            for ref in pdf["media_ref"]:
+                kind, decoded = decode_payload(synth_payload(ref))
                 if kind == "img":
                     f0.append(decoded.shape[1])
                     f1.append(decoded.shape[0])
@@ -202,7 +204,7 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
             out["f0"], out["f1"], out["f2"], out["f3"] = f0, f1, f2, f3
             yield out
 
-    return pay.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
+    return media.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id string, media_ref string, width int, height int, resized_sig long"
@@ -225,16 +227,17 @@ def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFr
     The oracle recomputes all three signatures in SQL from the
     synthetic payload's closed form plus the same floor index map. A
     wrong resample (off-by-one index math, wrong rounding) breaks the
-    hash.
+    hash. Fetch+decode fused in one Python stage (see
+    decode_media_features).
     """
-    pay = media_payloads(docs)
+    media = spans_of_kind(docs, "media").select("doc_id", "media_ref")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id", "media_ref"]].reset_index(drop=True)
             widths, heights, sigs = [], [], []
-            for raw in pdf["payload"]:
-                kind, decoded = decode_payload(bytes(raw))
+            for ref in pdf["media_ref"]:
+                kind, decoded = decode_payload(synth_payload(ref))
                 if kind == "img":
                     resized = resize_nearest(decoded, width, height)
                     widths.append(width)
@@ -263,7 +266,7 @@ def resize_media(docs: DataFrame, width: int = 224, height: int = 224) -> DataFr
             out["resized_sig"] = sigs
             yield out
 
-    return pay.mapInPandas(op, schema=RESIZE_SCHEMA)
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sig long"
@@ -289,17 +292,15 @@ def sample_frames(
     and the oracle (which re-derives w/h/n/F and the sums from the
     synthetic payload's closed form) catches either.
     """
-    pay = media_payloads(docs)
+    media = spans_of_kind(docs, "media").select("doc_id", "media_ref")
     if media_kind is not None:
-        pay = pay.where(F.col("media_ref").contains(f"://{media_kind}/"))
+        media = media.where(F.col("media_ref").contains(f"://{media_kind}/"))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "media_ref": [], "frame_idx": [], "frame_sig": []}
-            for doc_id, ref, raw in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
-            ):
-                kind, decoded = decode_payload(bytes(raw))
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                kind, decoded = decode_payload(synth_payload(ref))
                 if kind == "vid":
                     for idx in range(0, len(decoded), every_n):
                         rows["doc_id"].append(doc_id)
@@ -325,4 +326,4 @@ def sample_frames(
                     rows["frame_sig"].append(sig_base * 64 + idx)
             yield pd.DataFrame(rows)
 
-    return pay.mapInPandas(op, schema=FRAME_SCHEMA)
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

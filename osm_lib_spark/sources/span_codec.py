@@ -59,6 +59,27 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def spans_of_kind(docs: DataFrame, kind: str) -> DataFrame:
+    """One-kind span rows, filtering the spans ARRAY before exploding.
+
+    ``explode(filter(spans, ...))`` generates only the matching rows —
+    explode-then-filter materialized a row for EVERY span per parse
+    pass (3 passes × all spans for the entity parses). No ``span_pos``
+    column: positions would index the filtered array, so consumers that
+    need original order (reassemble_docs) must use ``explode_spans``.
+    """
+    return docs.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == F.lit(kind))).alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def parse_nodes(docs: DataFrame) -> DataFrame:
     """Extract nodes(id, fixed_lat, fixed_lon, tags) from node spans.
 
@@ -66,12 +87,12 @@ def parse_nodes(docs: DataFrame) -> DataFrame:
     so tag values may contain spaces (reference tag values are free-form
     UTF-8, OSMEntity.java:20-23).
     """
-    return _parse_node_rows(explode_spans(docs).where(F.col("kind") == "node"))
+    return _parse_node_rows(spans_of_kind(docs, "node"))
 
 
 def parse_ways(docs: DataFrame) -> DataFrame:
     """Extract ways(id, node_ids, tags) from way spans."""
-    return _parse_way_rows(explode_spans(docs).where(F.col("kind") == "way"))
+    return _parse_way_rows(spans_of_kind(docs, "way"))
 
 
 def parse_relations(docs: DataFrame) -> DataFrame:
@@ -80,9 +101,7 @@ def parse_relations(docs: DataFrame) -> DataFrame:
     Member text = "TYPE:mid:role|..." with TYPE ∈ {NODE,WAY,RELATION}
     (reference Relation.Member, Relation.java:13-44); role may be ''.
     """
-    return _parse_relation_rows(
-        explode_spans(docs).where(F.col("kind") == "relation")
-    )
+    return _parse_relation_rows(spans_of_kind(docs, "relation"))
 
 
 # ---------------------------------------------------------------------------
