@@ -203,10 +203,12 @@ def points_in_polygons_bucketed(
             ).cast("boolean"),
         ).otherwise(F.lit(True))
     )
+    bbox_cols = ["lat_min", "lat_max", "lon_min", "lon_max"]
     ptiles = (
         p.select(
             "poly_id",
             "rings",
+            *bbox_cols,
             F.explode(
                 F.sequence(
                     clamp(tile_x_col(F.col("lon_min"), zoom)),
@@ -219,6 +221,7 @@ def points_in_polygons_bucketed(
         .select(
             "poly_id",
             "rings",
+            *bbox_cols,
             "xtile",
             F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("ytile"),
         )
@@ -276,12 +279,29 @@ def points_in_polygons_bucketed(
                 out[ii] = inside
             return pd.Series(out)
 
-        cand = pts.join(F.broadcast(ptiles.drop("rings")), ["xtile", "ytile"])
+        # polygon-bbox prefilter: a candidate in a covering tile can
+        # still be outside the polygon's own bbox (tiles are ~0.088° at
+        # z12, most grid polygons are 0.01-0.06° half-size). The bbox
+        # test is a plain Column predicate in the same codegen stage as
+        # the join, so rows it kills never cross into Python (guide §4:
+        # pass the UDF only the rows it can possibly keep). bbox ⊇
+        # polygon, so only true negatives are dropped — exactness holds.
+        in_bbox = (
+            F.col("lat").between(F.col("lat_min"), F.col("lat_max"))
+            & F.col("lon").between(F.col("lon_min"), F.col("lon_max"))
+        )
+        tile_cols = ["poly_id", "xtile", "ytile", "lat_min", "lat_max", "lon_min", "lon_max"]
+        cand = pts.join(F.broadcast(ptiles.select(tile_cols)), ["xtile", "ytile"]).where(
+            in_bbox
+        )
         return cand.where(
             contains_bc(F.col("poly_id"), F.col("lat"), F.col("lon"))
         ).select("poly_id", "node_id")
 
-    cand = pts.join(ptiles.hint("SHUFFLE_HASH"), ["xtile", "ytile"])
+    cand = pts.join(ptiles.hint("SHUFFLE_HASH"), ["xtile", "ytile"]).where(
+        F.col("lat").between(F.col("lat_min"), F.col("lat_max"))
+        & F.col("lon").between(F.col("lon_min"), F.col("lon_max"))
+    )
     return cand.where(
         _pip_contains_udf(F.col("poly_id"), F.col("lat"), F.col("lon"), F.col("rings"))
     ).select("poly_id", "node_id")

@@ -982,10 +982,15 @@ def _encode_way_block_arrow(chunk: "pa.RecordBatch") -> bytes:
     return _enc_field_bytes(1, st) + _enc_field_bytes(2, b"".join(msgs))
 
 
+DEFLATE_LEVEL = 3  # zlib level: ~6x faster than the default 6 at ~1% worse
+# ratio on varint block bytes (measured r06); any level yields a valid PBF —
+# readers inflate regardless, so this is a pure encode-speed/size knob.
+
+
 def _blob_bytes(kind_str: str, block: bytes) -> bytes:
     """block → framed [len][BlobHeader][Blob] bytes (zlib, raw if
     deflate doesn't shrink — PBFOutput.writeOneBlob semantics)."""
-    deflated = zlib.compress(block)
+    deflated = zlib.compress(block, DEFLATE_LEVEL)
     if len(block) > 0 and len(deflated) < len(block):
         blob = _enc_field_varint(2, len(block)) + _enc_field_bytes(3, deflated)
     else:

@@ -390,9 +390,13 @@ def decode_vex_block(kind: str, n_entities: int, payload: bytes) -> pd.DataFrame
     return df
 
 
+DEFLATE_LEVEL = 3  # see pbf.DEFLATE_LEVEL — encode-speed/size knob, any
+# level is a valid stream for the inflating reader
+
+
 def _frame_block(kind: str, n_entities: int, payload: bytes) -> bytes:
     """payload → framed deflated block bytes (VEXBlock.writeDeflated)."""
-    deflated = zlib.compress(payload)
+    deflated = zlib.compress(payload, DEFLATE_LEVEL)
     return (
         _HEADERS[kind]
         + struct.pack(">ii", n_entities, len(deflated))
