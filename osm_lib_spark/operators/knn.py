@@ -345,8 +345,15 @@ def knn_kring(
             initial_ring = min(max(int(math.ceil((span - 1.0) / 2.0)), 1), 64)
         else:
             initial_ring = 1
-    own_cache = tiled is None
-    coords = tiled_node_store(nodes).cache() if own_cache else tiled
+    # Cache the ad-hoc tiled projection only for LARGE batches: a small
+    # interactive batch runs 1-3 rounds, and materializing a full node
+    # cache costs more than the rounds' re-derivation of the (cheap,
+    # columnar) tile columns from the upstream table. Serving layers
+    # pass a persisted ``tiled=`` store and skip this entirely.
+    own_cache = tiled is None and len(query_points) > driver_collect_max_q
+    coords = tiled if tiled is not None else tiled_node_store(nodes)
+    if own_cache:
+        coords = coords.cache()
 
     frontier = [
         dict(
@@ -362,6 +369,7 @@ def knn_kring(
     collect_mode = len(query_points) <= driver_collect_max_q
     parts: list[DataFrame] = []
     parts_rows: list[tuple[int, int, int]] = []
+    round_frames: list[DataFrame] = []  # persisted per-round top-k (large-Q mode)
 
     while frontier:
         # coarse prefilter: the frontier's global tile bounding box as
@@ -425,6 +433,7 @@ def knn_kring(
             # stay persisted (k·Q rows per round; eviction merely
             # recomputes deterministically from lineage).
             ranked = ranked.persist()
+            round_frames.append(ranked)
             stats = {
                 r["query_id"]: (int(r["n"]), float(r["kth"]))
                 for r in ranked.groupBy("query_id")
@@ -484,4 +493,12 @@ def knn_kring(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # materialize the union ONCE executor-side (k·Q rows), then release
+    # every per-round persisted frame: a long-lived serving session must
+    # not accumulate round caches without bound (they were previously
+    # left persisted forever — ADVICE r05). The checkpointed result no
+    # longer references the round frames' lineage.
+    out = out.localCheckpoint(eager=True)
+    for rf in round_frames:
+        rf.unpersist()
     return out
