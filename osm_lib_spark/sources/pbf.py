@@ -982,6 +982,108 @@ def _encode_way_block_arrow(chunk: "pa.RecordBatch") -> bytes:
     return _enc_field_bytes(1, st) + _enc_field_bytes(2, b"".join(msgs))
 
 
+def _seg_varint_spans(vals: np.ndarray, counts: np.ndarray):
+    """Encode a flattened uint64 column to varints and return
+    (buf, lo, hi): per-entity byte spans via cumsum over the entity
+    segment lengths — the shared slicing pattern of the Arrow block
+    encoders."""
+    enc, lens = np_encode_varints_with_lens(vals)
+    byte_cum = np.concatenate(([0], np.cumsum(lens)))
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ends = np.cumsum(counts)
+    return enc.tobytes(), byte_cum[starts], byte_cum[ends]
+
+
+def _encode_rel_block_arrow(chunk: "pa.RecordBatch") -> bytes:
+    """Relation PrimitiveBlock from an Arrow batch — the same
+    block-wide numpy passes as the way encoder (one sorted-unique
+    string table over keys+values+roles, per-relation-reset member-id
+    delta via segmented diff, one varint pass per column); per-relation
+    Python only slices the precomputed buffers into protobuf messages.
+    Replaces the last itertuples hot loop in the PBF sink."""
+    import pyarrow.compute as pc
+
+    ids = chunk.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    members = chunk.column("members")
+    if isinstance(members, pa.ChunkedArray):  # pragma: no cover
+        members = members.combine_chunks()
+    m_counts = (
+        pc.fill_null(pc.list_value_length(members), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    mflat = members.flatten()
+    mtypes = mflat.field("type").to_numpy(zero_copy_only=False)
+    mids = mflat.field("member_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    roles = mflat.field("role").to_numpy(zero_copy_only=False)
+    if any(r is None for r in roles):
+        roles = np.array(["" if r is None else r for r in roles], dtype=object)
+
+    tags = chunk.column("tags")
+    if isinstance(tags, pa.ChunkedArray):  # pragma: no cover
+        tags = tags.combine_chunks()
+    tag_counts = (
+        pc.fill_null(pc.list_value_length(tags), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    tflat = tags.flatten()
+    keys = tflat.field("key").to_numpy(zero_copy_only=False)
+    vals = tflat.field("value").to_numpy(zero_copy_only=False)
+    if any(v is None for v in vals):
+        vals = np.array(["" if v is None else v for v in vals], dtype=object)
+
+    n_pairs = int(tag_counts.sum())
+    n_mem = int(m_counts.sum())
+    all_strs = np.concatenate(
+        [np.asarray(a, dtype=object) for a in (keys, vals, roles)]
+    ) if (n_pairs or n_mem) else np.zeros(0, dtype=object)
+    if len(all_strs):
+        uniq, inv = np.unique(all_strs, return_inverse=True)
+        codes = (inv + 1).astype(np.uint64)
+        kcodes = codes[:n_pairs]
+        vcodes = codes[n_pairs : 2 * n_pairs]
+        rcodes = codes[2 * n_pairs :]
+        strings = [""] + [str(u) for u in uniq]
+    else:
+        kcodes = vcodes = rcodes = np.zeros(0, np.uint64)
+        strings = [""]
+
+    # per-relation member-id delta chains (reset per relation, like refs)
+    m_starts = np.concatenate(([0], np.cumsum(m_counts)))[:-1]
+    deltas = np.diff(mids, prepend=0)
+    nonempty = m_counts > 0
+    deltas[m_starts[nonempty]] = mids[m_starts[nonempty]]
+    tcodes = np.select(
+        [mtypes == "NODE", mtypes == "WAY"], [0, 1], default=2
+    ).astype(np.uint64)
+
+    k_buf, k_lo, k_hi = _seg_varint_spans(kcodes, tag_counts)
+    v_buf, v_lo, v_hi = _seg_varint_spans(vcodes, tag_counts)
+    r_buf, r_lo, r_hi = _seg_varint_spans(rcodes, m_counts)
+    d_buf, d_lo, d_hi = _seg_varint_spans(np_zigzag(deltas), m_counts)
+    t_buf, t_lo, t_hi = _seg_varint_spans(tcodes, m_counts)
+
+    msgs = []
+    for i in range(len(ids)):
+        msg = [_enc_field_varint(1, int(ids[i]))]
+        if tag_counts[i]:
+            kb = k_buf[k_lo[i] : k_hi[i]]
+            vb = v_buf[v_lo[i] : v_hi[i]]
+            msg.append(_enc_varint((2 << 3) | 2) + _enc_varint(len(kb)) + kb)
+            msg.append(_enc_varint((3 << 3) | 2) + _enc_varint(len(vb)) + vb)
+        if m_counts[i]:
+            rb = r_buf[r_lo[i] : r_hi[i]]
+            db = d_buf[d_lo[i] : d_hi[i]]
+            tb = t_buf[t_lo[i] : t_hi[i]]
+            msg.append(_enc_varint((8 << 3) | 2) + _enc_varint(len(rb)) + rb)
+            msg.append(_enc_varint((9 << 3) | 2) + _enc_varint(len(db)) + db)
+            msg.append(_enc_varint((10 << 3) | 2) + _enc_varint(len(tb)) + tb)
+        msgs.append(_enc_field_bytes(4, b"".join(msg)))
+    st = b"".join(_enc_field_bytes(1, s.encode("utf-8")) for s in strings)
+    return _enc_field_bytes(1, st) + _enc_field_bytes(2, b"".join(msgs))
+
+
 DEFLATE_LEVEL = 3  # zlib level: ~6x faster than the default 6 at ~1% worse
 # ratio on varint block bytes (measured r06); any level yields a valid PBF —
 # readers inflate regardless, so this is a pure encode-speed/size knob.
@@ -1153,7 +1255,7 @@ def write_pbf(path: str, nodes, ways, relations, block_size: int = BLOCK_SIZE):
         elif kind == "way":
             parts.append(arranged.mapInArrow(arrow_enc(1, _encode_way_block_arrow), schema=blob_schema))
         else:
-            parts.append(arranged.mapInPandas(encoder(kind), schema=blob_schema))
+            parts.append(arranged.mapInArrow(arrow_enc(2, _encode_rel_block_arrow), schema=blob_schema))
     if not parts:
         raise ValueError("write_pbf: nodes, ways and relations are all None — nothing to write")
     blobs = parts[0]
