@@ -210,8 +210,16 @@ def bbox_extract_batch(
     )
     # lazy checkpoint: b_nodes feeds BOTH the node output and the
     # node→relation join (same re-execution hazard as b_ways)
+    # SHUFFLE_HASH: at scale neither side broadcasts (refs is the
+    # exploded batch, nodes the corpus); hash-building the node side
+    # beats sort-merge — it skips sorting both multi-million-row sides
+    # (same reasoning as the bench's way→node resolution join).
     b_nodes = (
-        refs.join(nodes.select(F.col("id").alias("ref_id")), "ref_id", "left_semi")
+        refs.join(
+            nodes.select(F.col("id").alias("ref_id")).hint("SHUFFLE_HASH"),
+            "ref_id",
+            "left_semi",
+        )
         .select("bbox_id", F.col("ref_id").alias("node_id"))
         .localCheckpoint(eager=False)
     )
