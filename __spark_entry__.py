@@ -40,6 +40,20 @@ G = os.path.join(FIXTURES, "sf-s", "golden")
 DOCS_S = os.path.join(FIXTURES, "sf-s", "docs.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: gate queries build one-shot index dirs
+    whose files must outlive the (lazy) returned DataFrame, so they are
+    removed at process exit rather than leaked across repeated gate or
+    bench invocations (ADVICE r05)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _fixture(sf_dir: str) -> str:
     from osm_lib_spark.sources.generator import ensure_fixture, scale_for_sf_dir
 
@@ -460,7 +474,7 @@ def q_dedup_minhash(spark, sf_dir):
 
     docs = _documents(spark, sf_dir)
     mono = minhash_dup_pairs(docs).withColumn("path", F.lit("mono"))
-    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    idx = _scratch_dir("mh_idx_")
     build_minhash_index(docs.where(F.col("doc_id") % 2 == 0), idx)
     inc = dedup_batch_against_index(docs.where(F.col("doc_id") % 2 == 1), idx)
     return mono.unionByName(inc.withColumn("path", F.lit("inc"))).select(
@@ -503,7 +517,7 @@ def q_events_sessionize_stream(spark, sf_dir):
 
     from osm_lib_spark.streaming.sessions import SESS_OUTPUT_SCHEMA, run_session_stream
 
-    tmp = tempfile.mkdtemp(prefix="sess_stream_gate_")
+    tmp = _scratch_dir("sess_stream_gate_")
     events_dir = os.path.join(tmp, "events")
     out_dir = os.path.join(tmp, "out")
     os.makedirs(events_dir)
@@ -648,7 +662,7 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
     emb = _embeddings(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="ivfpq_gate_")
+    idx = _scratch_dir("ivfpq_gate_")
     build_ivf_pq_index(emb, idx)
     return ivf_pq_topk_from_index(emb, idx)
 

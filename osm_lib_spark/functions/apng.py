@@ -116,6 +116,8 @@ def apng_decode(data: bytes) -> list[np.ndarray]:
     cur: bytearray | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated APNG chunk")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])

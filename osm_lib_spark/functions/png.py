@@ -114,8 +114,13 @@ def png_decode(data: bytes) -> np.ndarray:
     w = h = None
     color_type = None
     idat = bytearray()
+    saw_iend = False
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
@@ -133,8 +138,11 @@ def png_decode(data: bytes) -> np.ndarray:
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
+    if not saw_iend:
+        raise ValueError("truncated PNG: missing IEND")
     if w is None:
         raise ValueError("PNG missing IHDR")
     channels = 1 if color_type == 0 else 3

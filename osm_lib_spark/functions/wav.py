@@ -59,8 +59,12 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated WAV chunk")
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError("truncated WAV fmt chunk")
             tag, channels, sample_rate, _byte_rate, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

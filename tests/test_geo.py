@@ -286,3 +286,69 @@ def test_knn_kring_coarse_cell_path_q100(nodes_xs, meta_xs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(brute, ring_default, check_dtype=False)
+
+
+def test_ray_cast_against_independent_implementation():
+    """ADVICE r05: the bucketed PIP engine and its oracle share
+    ray_cast_contains, so the gate can't catch a kernel bug. This
+    scalar crossing-number implementation is written independently
+    (per-point loop, multiply-form edge test — no shared code or
+    formulation) and must agree on a dense grid across polygon shapes,
+    including edge-adjacent and degenerate-vertex cases."""
+    import numpy as np
+
+    from osm_lib_spark.sources.oracle import ray_cast_contains
+
+    def contains_scalar(poly, py, px):
+        # crossing number, multiply form (avoids the kernel's division)
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                # x < x1 + (x2-x1)*(py-y1)/(y2-y1), rearranged to avoid /
+                dx = (x2 - x1) * (py - y1)
+                dy = y2 - y1
+                if dy > 0:
+                    crosses = (px - x1) * dy < dx
+                else:
+                    crosses = (px - x1) * dy > dx
+                inside ^= bool(crosses)
+        return inside
+
+    polys = [
+        np.array([[0.0, 0.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0]]),  # box
+        np.array([[0.0, 1.0], [1.0, 2.0], [2.0, 1.0], [1.0, 0.0]]),  # diamond
+        np.array([[0.0, 0.0], [0.0, 3.0], [1.5, 1.0], [3.0, 3.0], [3.0, 0.0]]),  # concave
+        np.array([[0.0, 0.0], [0.0, 2.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0]]),  # dup vertex
+    ]
+    ys, xs = np.meshgrid(np.linspace(-0.5, 3.5, 41), np.linspace(-0.5, 3.5, 41))
+    la, lo = ys.ravel(), xs.ravel()
+    for poly in polys:
+        got = ray_cast_contains(poly, la, lo)
+        exp = np.array([contains_scalar(poly, y, x) for y, x in zip(la, lo)])
+        # division-vs-multiply forms may disagree only ON an edge;
+        # exclude exact-edge grid points the same way FIXTURES.md §4.8
+        # documents the convention as unspecified there
+        disagree = got != exp
+        if disagree.any():
+            for idx in np.nonzero(disagree)[0]:
+                y, x = la[idx], lo[idx]
+                on_edge = False
+                n = len(poly)
+                for i in range(n):
+                    y1, x1 = poly[i]
+                    y2, x2 = poly[(i + 1) % n]
+                    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+                    within = (
+                        min(y1, y2) <= y <= max(y1, y2)
+                        and min(x1, x2) <= x <= max(x1, x2)
+                    )
+                    if abs(cross) < 1e-12 and within:
+                        on_edge = True
+                        break
+                assert on_edge, (
+                    f"kernel and independent ray cast disagree OFF-edge at "
+                    f"({y}, {x}) for poly {poly.tolist()}"
+                )
