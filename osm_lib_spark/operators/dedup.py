@@ -277,9 +277,18 @@ def components_from_pairs(
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("comp")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY over docs that appear in some pair: a doc with no
+    # edge has no neighbor, so its label can never change — joining the
+    # whole corpus into every round (the old shape) recomputed an
+    # invariant. Edge docs are the duplicate-graph vertices (≪ corpus
+    # at scale); the corpus joins exactly once at the end to emit the
+    # untouched singletons. The fixpoint is identical by construction.
+    edge_ids = edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = edge_ids.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -299,7 +308,10 @@ def components_from_pairs(
         labels = stepped.drop("_chg")
         if converged:
             break
-    return labels.select(
+    singletons = documents.join(edge_ids, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("comp")
+    )
+    return labels.unionByName(singletons).select(
         "doc_id",
         F.col("comp").alias("component_id"),
         (F.col("doc_id") == F.col("comp")).cast("long").alias("keep"),
