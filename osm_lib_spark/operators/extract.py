@@ -299,17 +299,22 @@ def bbox_extract(
         F.col("member_id") == F.col("wid"),
         "left_semi",
     )
+    # lazy checkpoint: seen feeds the closure semi-join AND the output
+    # union (it was planned twice — plan audit r06); it is bounded by
+    # the relation count, so the closure and final semi-joins broadcast
+    # it instead of sort-merging stats-free RDD scans.
     seen = (
         rel_by_node.select("relation_id")
         .unionByName(rel_by_way.select("relation_id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     # J5: upward closure resolved in ONE join against the precomputed
     # transitive closure table (TileOSMSource.java:112-132 semantics).
     ancestors = (
         ctx.rel_closure.join(
-            seen.withColumnRenamed("relation_id", "seen_id"),
+            F.broadcast(seen.withColumnRenamed("relation_id", "seen_id")),
             ctx.rel_closure.relation_id == F.col("seen_id"),
             "left_semi",
         )
@@ -318,6 +323,6 @@ def bbox_extract(
     all_rels = seen.unionByName(ancestors).distinct()
 
     extract_rels = relations.join(
-        all_rels, relations.id == all_rels.relation_id, "left_semi"
+        F.broadcast(all_rels), relations.id == all_rels.relation_id, "left_semi"
     )
     return Extract(nodes=extract_nodes, ways=extract_ways, relations=extract_rels)
